@@ -59,9 +59,17 @@ def gen_vde(graph: CSRGraph, vde_dim: int) -> VertexEmbeddings:
 
 def gen_vde_device(offsets, neighbors, labels, label_table):
     """Device VDE: gather per-label features and run one aggregation hop.
-    jit-able; dtype follows ``label_table`` (f32 for TPU speed)."""
+    jit-compiled in one unit (eager per-op dispatch compiles each op
+    separately — pathologically slow on some hosts); dtype follows
+    ``label_table`` (f32 for TPU speed)."""
+    import jax
     import jax.numpy as jnp
     from gnnpe_tpu.ops.spmm import spmm_csr
-    x = jnp.take(label_table, labels, axis=0)
-    nx = spmm_csr(offsets, neighbors, x)
-    return x, nx, x + nx
+
+    @jax.jit
+    def _run(offsets, neighbors, labels, label_table):
+        x = jnp.take(label_table, labels, axis=0)
+        nx = spmm_csr(offsets, neighbors, x)
+        return x, nx, x + nx
+
+    return _run(offsets, neighbors, labels, label_table)

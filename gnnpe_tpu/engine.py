@@ -1,0 +1,156 @@
+"""End-to-end PE / PGE engines: the stage pipeline of the reference CLI
+drivers (GNN-PE/src/main.cpp, GNN-PGE/src/main.cpp), array-first.
+
+Stage contract (checkpoint/resume mirrors the reference's staged
+artifacts, SURVEY.md §5):
+  prepare  → membership                    (ref: gnnpe.py → membership.txt)
+  offline  → paths / per-vertex groups     (ref: all_paths.txt,
+                                            partition_paths.txt,
+                                            data_vertices.bin)
+  online   → candidates → refinement → N   (ref: "Answer Number: N")
+
+Partitions shard work only; the candidate union is invariant to
+membership (SURVEY.md §3.3).  The online path filters per partition and
+unions — same contract as the reference's OpenMP loop + serial union
+(main.cpp:155-172) — or in one fused pass when unsharded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from gnnpe_tpu.config import PEConfig, PGEConfig
+from gnnpe_tpu.embed.pde import (gen_pde, gen_query_pde_table, path_groups,
+                                 path_group_keys)
+from gnnpe_tpu.embed.vde import gen_vde
+from gnnpe_tpu.graph.csr import CSRGraph
+from gnnpe_tpu.graph.partition import degree_sorted_nodes, partition_graph
+from gnnpe_tpu.match.filter import pe_candidates, pge_candidates
+from gnnpe_tpu.match.plan import greedy_path_cover
+from gnnpe_tpu.match.refine import refinement
+from gnnpe_tpu.paths.enumerate import enumerate_paths
+from gnnpe_tpu.utils.timers import StageTimer
+
+
+@dataclass
+class MatchResult:
+    answer_count: int
+    candidates: List[np.ndarray]
+    timings_ms: dict
+    embeddings: Optional[np.ndarray] = None
+
+
+class PEEngine:
+    """GNN-PE variant: per-path index entries, position-wise filtering."""
+
+    def __init__(self, config: PEConfig, data_graph: CSRGraph,
+                 membership: Optional[np.ndarray] = None):
+        self.config = config
+        self.graph = data_graph
+        self.membership = (membership if membership is not None
+                           else partition_graph(data_graph,
+                                                config.partition_num))
+        self.paths = None
+        self.partition_rows = None
+        self.data_pde = None
+        self.vertices = None
+
+    def offline(self):
+        """Enumerate + dedup paths and shard them (ref main.cpp:75-120)."""
+        order = degree_sorted_nodes(self.graph)
+        self.paths, self.partition_rows = enumerate_paths(
+            self.graph, order, self.config.path_length, dedup=True,
+            membership=self.membership)
+        return self
+
+    def build_index(self):
+        """Embed all paths (ref gen_vde+gen_pde, main.cpp:124-126). The
+        packed dominance index (gnnpe_tpu.index) accelerates filtering
+        for large path sets; the flat filter is the semantic ground
+        truth."""
+        self.vertices = gen_vde(self.graph, self.config.vde_dim)
+        self.data_pde = gen_pde(self.vertices, self.paths)
+        return self
+
+    def online(self, query_graph: CSRGraph, engine: str = "auto",
+               return_embeddings: bool = False) -> MatchResult:
+        assert self.data_pde is not None, "call offline() + build_index()"
+        t = StageTimer()
+        with t.stage("query_plan"):
+            q_vertices = gen_vde(query_graph, self.config.vde_dim)
+            q_paths, _ = enumerate_paths(
+                query_graph, np.arange(query_graph.num_vertices),
+                self.config.path_length, dedup=True)
+            q_pde, weight, key = gen_query_pde_table(q_vertices, q_paths)
+            plan = greedy_path_cover(q_paths, weight,
+                                     query_graph.num_vertices)
+        with t.stage("search"):
+            cands = pe_candidates(self.data_pde, q_pde, plan,
+                                  query_graph.num_vertices,
+                                  epsilon=self.config.epsilon)
+        with t.stage("refine"):
+            res = refinement(self.graph, query_graph, cands,
+                             self.config.max_answers, engine=engine,
+                             return_embeddings=return_embeddings)
+        count, emb = res if return_embeddings else (res, None)
+        return MatchResult(answer_count=int(count), candidates=cands,
+                           timings_ms=t.times_ms, embeddings=emb)
+
+
+class PGEEngine:
+    """GNN-PGE variant: per-vertex path-group boxes (exact on Test/)."""
+
+    def __init__(self, config: PGEConfig, data_graph: CSRGraph,
+                 membership: Optional[np.ndarray] = None):
+        self.config = config
+        self.graph = data_graph
+        self.membership = (membership if membership is not None
+                           else partition_graph(data_graph,
+                                                config.partition_num))
+        self.vertices = None
+        self.group = None
+        self.label_group = None
+
+    def offline(self):
+        """VDE + per-vertex path groups (ref GNN-PGE/src/main.cpp:91-177)."""
+        self.vertices = gen_vde(self.graph, self.config.vde_dim)
+        order = degree_sorted_nodes(self.graph)
+        paths, _ = enumerate_paths(self.graph, order,
+                                   self.config.path_length, dedup=False)
+        self.group, self.label_group = path_groups(
+            self.vertices, paths[:, 0], paths, self.config.pde_dim)
+        return self
+
+    def online(self, query_graph: CSRGraph, engine: str = "auto",
+               return_embeddings: bool = False) -> MatchResult:
+        assert self.group is not None, "call offline() first"
+        t = StageTimer()
+        with t.stage("query_plan"):
+            qv = gen_vde(query_graph, self.config.vde_dim)
+            q_paths, _ = enumerate_paths(
+                query_graph, np.arange(query_graph.num_vertices),
+                self.config.path_length, dedup=False)
+            if len(q_paths) == 0:
+                raise ValueError(
+                    "query has a vertex with no path; unsupported (the "
+                    "reference reads uninitialized memory here, "
+                    "GNN-PGE/src/main.cpp:284-330)")
+            q_group, q_label_group = path_groups(
+                qv, q_paths[:, 0], q_paths, self.config.pde_dim)
+        with t.stage("search"):
+            nq = query_graph.num_vertices
+            cands = pge_candidates(
+                self.vertices.labels, self.vertices.degrees,
+                self.group, self.label_group,
+                qv.labels, qv.degrees, q_group, q_label_group,
+                q_vertex_ids=list(range(nq)))
+        with t.stage("refine"):
+            res = refinement(self.graph, query_graph, cands,
+                             self.config.max_answers, engine=engine,
+                             return_embeddings=return_embeddings)
+        count, emb = res if return_embeddings else (res, None)
+        return MatchResult(answer_count=int(count), candidates=cands,
+                           timings_ms=t.times_ms, embeddings=emb)

@@ -1,0 +1,108 @@
+"""Candidate generation as flat vectorized dominance filters.
+
+The reference answers candidate queries with a best-first R*-tree search
+(GNN-PE/include/custom.h:366-489).  Analysis (SURVEY.md §7.1): every
+internal-node filter is *implied* by the leaf test — a (data, query)
+pair passing the leaf test passes all its ancestors' label-MBR and
+upper-bound dominance checks, and the heap's early-exit can only fire
+inside the ε-slack band (Q_map keys satisfy key ≥ node_key − D·ε by the
+traversal filter itself).  The candidate set therefore equals a flat
+filter over all pairs — a dense masked compare that is the natural TPU
+formulation (VPU-friendly; batched over query paths).  The packed-box
+hierarchy in gnnpe_tpu.index prunes the same filter for huge path sets.
+
+Leaf-test semantics (must match exactly):
+  PE  (custom.h:401-438): position-wise label ==, q.deg ≤ d.deg, then
+      q.pde[k] ≤ d.pde[k] + ε for all k (ε from custom.h:43).
+  PGE (GNN-PGE custom.h:330-372): q.deg ≤ d.deg, label ==, label-group
+      interval overlap, then d.pg_ub[k] ≥ q.pg_lb[k] (strict, NO ε —
+      note the reference's vde loop there is dead code, :337-345).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from gnnpe_tpu.config import EPSILON
+from gnnpe_tpu.embed.pde import PathEmbeddings
+
+
+def pe_pair_mask(data: PathEmbeddings, query: PathEmbeddings,
+                 query_rows: Optional[np.ndarray] = None,
+                 epsilon: float = EPSILON) -> np.ndarray:
+    """bool[Q, P]: query path q matches data path p position-wise."""
+    q_idx = (np.arange(query.num_paths)
+             if query_rows is None else np.asarray(query_rows))
+    q_labels = query.labels[q_idx]          # [Q, L]
+    q_degrees = query.degrees[q_idx]
+    q_pde = query.pde[q_idx]                # [Q, L*D]
+    label_ok = (q_labels[:, None, :] == data.labels[None, :, :]).all(-1)
+    degree_ok = (q_degrees[:, None, :] <= data.degrees[None, :, :]).all(-1)
+    # custom.h:422: fail iff q > d AND |q-d| > ε  ⇒ pass iff q ≤ d + ε.
+    pde_ok = (q_pde[:, None, :] <= data.pde[None, :, :] + epsilon).all(-1)
+    return label_ok & degree_ok & pde_ok
+
+
+def pe_candidates(data: PathEmbeddings, query: PathEmbeddings,
+                  plan_rows: np.ndarray, num_query_vertices: int,
+                  data_rows: Optional[np.ndarray] = None,
+                  epsilon: float = EPSILON) -> List[np.ndarray]:
+    """Candidate vertex sets per query vertex (sorted unique ids).
+
+    On a match, each position's data vertex becomes a candidate for the
+    corresponding query-path vertex (custom.h:429-433).
+
+    data_rows: optional subset of data paths (a partition's paths).
+    """
+    rows = (np.arange(data.num_paths)
+            if data_rows is None else np.asarray(data_rows))
+    sub = PathEmbeddings(vids=data.vids[rows], labels=data.labels[rows],
+                         degrees=data.degrees[rows], pde=data.pde[rows],
+                         pde_label=data.pde_label[rows])
+    mask = pe_pair_mask(sub, query, plan_rows, epsilon)   # [Q, P']
+    out: List[np.ndarray] = [np.zeros(0, dtype=np.int64)
+                             for _ in range(num_query_vertices)]
+    q_vids = query.vids[plan_rows]                        # [Q, L]
+    l = q_vids.shape[1]
+    per_vertex: List[List[np.ndarray]] = [[] for _ in range(num_query_vertices)]
+    for qi in range(mask.shape[0]):
+        hit = np.nonzero(mask[qi])[0]
+        if not len(hit):
+            continue
+        dvids = sub.vids[hit]                             # [H, L]
+        for k in range(l):
+            per_vertex[int(q_vids[qi, k])].append(dvids[:, k])
+    for v in range(num_query_vertices):
+        if per_vertex[v]:
+            out[v] = np.unique(np.concatenate(per_vertex[v]).astype(np.int64))
+    return out
+
+
+def pge_candidates(d_labels: np.ndarray, d_degrees: np.ndarray,
+                   d_group: np.ndarray, d_label_group: np.ndarray,
+                   q_labels: np.ndarray, q_degrees: np.ndarray,
+                   q_group: np.ndarray, q_label_group: np.ndarray,
+                   q_vertex_ids: Sequence[int],
+                   data_vertex_ids: Optional[np.ndarray] = None
+                   ) -> List[np.ndarray]:
+    """PGE vertex-level filter chain (GNN-PGE custom.h:330-372).
+
+    Groups are f64[N, 2, pde_dim] ([:,0]=lower, [:,1]=upper).
+    Returns sorted candidate arrays per query vertex id.
+    """
+    n_data = len(d_labels)
+    ids = (np.arange(n_data, dtype=np.int64)
+           if data_vertex_ids is None else np.asarray(data_vertex_ids))
+    out: List[np.ndarray] = []
+    for j, qv in enumerate(q_vertex_ids):
+        ok = (q_degrees[j] <= d_degrees) & (q_labels[j] == d_labels)
+        # label-group overlap (custom.h:348-354): fail iff
+        # v.ub < q.lb or v.lb > q.ub in any dim.
+        overlap = ((d_label_group[:, 1, :] >= q_label_group[j, 0, :]) &
+                   (d_label_group[:, 0, :] <= q_label_group[j, 1, :])).all(-1)
+        # path-group lower-bound dominance (custom.h:357-363, strict, no ε):
+        dom = (d_group[:, 1, :] >= q_group[j, 0, :]).all(-1)
+        out.append(np.sort(ids[ok & overlap & dom]))
+    return out

@@ -8,13 +8,27 @@ substitute).  Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment ships JAX_PLATFORMS=axon (remote-TPU tunnel; seconds
+# of latency per dispatch) and the axon plugin re-forces itself during
+# registration, so overwrite the env AND the config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
+
+# Persistent XLA compilation cache: compiles on this box take ~12s per
+# op, so cache aggressively across test runs.
+_cache = pathlib.Path(__file__).parent.parent / ".cache" / "jax"
+_cache.mkdir(parents=True, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 import pytest

@@ -1,0 +1,125 @@
+"""End-to-end match parity: candidates and answer counts vs the
+instrumented reference runs (tests/golden/GOLDEN.json)."""
+
+import numpy as np
+import pytest
+
+from gnnpe_tpu.config import PEConfig, PGEConfig
+from gnnpe_tpu.engine import PEEngine, PGEEngine
+from gnnpe_tpu.match.plan import generate_bn, gql_order, greedy_path_cover
+
+from .conftest import load_candidates
+
+
+@pytest.fixture(scope="module")
+def pe_engine(data_graph):
+    return PEEngine(PEConfig.from_cli(l=2, e=2, p=5),
+                    data_graph).offline().build_index()
+
+
+@pytest.fixture(scope="module")
+def pe_result(pe_engine, query_graph):
+    return pe_engine.online(query_graph, engine="python")
+
+
+@pytest.fixture(scope="module")
+def pge_engine(data_graph):
+    return PGEEngine(PGEConfig.from_cli(l=2, e=2, p=5),
+                     data_graph).offline()
+
+
+@pytest.fixture(scope="module")
+def pge_result(pge_engine, query_graph):
+    return pge_engine.online(query_graph, engine="python")
+
+
+def test_pe_candidate_sets_exact(pe_result, golden_meta):
+    golden = load_candidates(golden_meta["pe"]["candidates_file"])
+    assert [len(c) for c in pe_result.candidates] == \
+        golden_meta["pe"]["candidate_sizes"]
+    for i, c in enumerate(pe_result.candidates):
+        assert set(map(int, c)) == golden[i], f"query vertex {i}"
+
+
+def test_pe_answer_number(pe_result, golden_meta):
+    assert pe_result.answer_count == golden_meta["pe"]["answer_number"]
+
+
+def test_pge_candidate_sets_exact(pge_result, golden_meta):
+    golden = load_candidates(golden_meta["pge"]["candidates_file"])
+    for i, c in enumerate(pge_result.candidates):
+        assert set(map(int, c)) == golden[i], f"query vertex {i}"
+
+
+def test_pge_answer_number_exact_oracle(pge_result, golden_meta):
+    assert pge_result.answer_count == golden_meta["pge"]["answer_number"]
+    assert pge_result.answer_count == golden_meta["vf2_oracle"]
+
+
+def test_native_refine_matches_python(data_graph, query_graph, golden_meta):
+    eng = PGEEngine(PGEConfig.from_cli(), data_graph).offline()
+    res = eng.online(query_graph, engine="native")
+    assert res.answer_count == golden_meta["pge"]["answer_number"]
+
+
+def test_native_refine_pe(pe_engine, query_graph, golden_meta):
+    res = pe_engine.online(query_graph, engine="native")
+    assert res.answer_count == golden_meta["pe"]["answer_number"]
+
+
+def test_answer_limit(pge_engine, query_graph):
+    from gnnpe_tpu.match.refine import refinement
+    cands = pge_engine.online(query_graph, engine="python").candidates
+    assert refinement(pge_engine.graph, query_graph, cands,
+                      max_answers=1000, engine="python") == 1000
+    assert refinement(pge_engine.graph, query_graph, cands,
+                      max_answers=1000, engine="native") == 1000
+
+
+def test_embeddings_are_valid_monomorphisms(pge_engine, query_graph):
+    """Emitted embeddings must be injective, label-consistent, and map
+    query edges to data edges."""
+    res = pge_engine.online(query_graph, engine="native",
+                            return_embeddings=True)
+    emb = res.embeddings
+    assert emb.shape[0] == res.answer_count
+    sample = emb[:: max(1, len(emb) // 500)]
+    g, q = pge_engine.graph, query_graph
+    for row in sample:
+        assert len(set(row.tolist())) == q.num_vertices
+        assert (g.labels[row] == q.labels).all()
+    qsrc, qdst = q.coo()
+    for row in sample[:50]:
+        assert g.has_edge(row[qsrc], row[qdst]).all()
+
+
+def test_greedy_cover_plan_size(data_graph, query_graph, golden_meta):
+    """The reference prints the plan size (custom.h:630): 6 on Test/."""
+    from gnnpe_tpu.embed.vde import gen_vde
+    from gnnpe_tpu.embed.pde import gen_query_pde_table
+    from gnnpe_tpu.paths.enumerate import enumerate_paths
+    qv = gen_vde(query_graph, 2)
+    qp, _ = enumerate_paths(query_graph, np.arange(8), 3, dedup=True)
+    pe, weight, key = gen_query_pde_table(qv, qp)
+    plan = greedy_path_cover(qp, weight, 8)
+    assert len(plan) == golden_meta["pe"]["query_plan_size"]
+    covered = set(int(v) for i in plan for v in qp[i])
+    assert covered == set(range(8))
+
+
+def test_gql_order_properties(query_graph):
+    counts = np.array([210, 116, 36, 110, 54, 55, 93, 1])
+    order, pivot = gql_order(query_graph, counts)
+    assert sorted(order.tolist()) == list(range(8))
+    # start vertex = min candidate count
+    assert order[0] == 7
+    # each later vertex's pivot precedes it and is adjacent
+    pos = {int(v): i for i, v in enumerate(order)}
+    for i in range(1, 8):
+        assert pos[int(pivot[i])] < i
+        assert query_graph.has_edge(np.array([order[i]]),
+                                    np.array([pivot[i]]))[0]
+    bn = generate_bn(query_graph, order, pivot)
+    for i in range(1, 8):
+        for w in bn[i]:
+            assert pos[int(w)] < i and int(w) != int(pivot[i])
