@@ -1,0 +1,132 @@
+"""Benchmark harness.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): **aggregation edges/sec/chip** for the
+message-passing SpMM — the hot op of the embedding/training stage —
+measured on a synthetic power-law-ish graph at production-ish sizes.
+``vs_baseline`` is the fraction of the HBM-bandwidth roofline achieved
+(north-star target ≥ 0.80).
+
+Roofline model (memory-bound SpMM over COO arcs, f32, feature dim D):
+  bytes/edge ≈ 4·D (gather x[src]) + 8 (src+dst ids)
+             + amortized accumulator traffic ≈ 8·D·V/E
+  roofline edges/s = BW_chip / bytes_per_edge
+BW: v5e ≈ 819 GB/s, v4 ≈ 1228 GB/s, CPU fallback uses a nominal
+50 GB/s so the line stays comparable (the driver runs this on TPU).
+
+Secondary numbers (stderr): end-to-end PE/PGE query latency on Test/
+vs the reference's measured wall times (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _chip_bandwidth_bytes():
+    import jax
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 819e9
+    if "v4" in kind:
+        return 1228e9
+    if "v5p" in kind or "v5" in kind:
+        return 2765e9
+    if "v6" in kind or "trillium" in kind:
+        return 1640e9
+    return 50e9  # CPU fallback
+
+
+def synth_graph(num_vertices: int, num_edges: int, seed: int = 0):
+    """Power-law-ish multigraph arcs (both directions), sorted by dst
+    for scatter locality."""
+    rng = np.random.RandomState(seed)
+    # Preferential-attachment-flavored: degree ∝ zipf weights, sampled
+    # by inverse-CDF (rng.choice with p= is pathologically slow here).
+    w = 1.0 / np.arange(1, num_vertices + 1) ** 0.8
+    cdf = np.cumsum(w / w.sum())
+    src = np.searchsorted(cdf, rng.rand(num_edges)).astype(np.int32)
+    src = np.minimum(src, num_vertices - 1)
+    dst = rng.randint(0, num_vertices, size=num_edges).astype(np.int32)
+    order = np.argsort(dst, kind="stable")
+    return src[order], dst[order]
+
+
+def bench_aggregation(num_vertices=1_000_000, num_edges=8_000_000,
+                      dim=128, iters=20, warmup=3):
+    import jax
+    import jax.numpy as jnp
+    from gnnpe_tpu.ops.spmm import neighbor_sum
+
+    src, dst = synth_graph(num_vertices, num_edges)
+    x = jnp.asarray(np.random.RandomState(1).rand(
+        num_vertices, dim).astype(np.float32))
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+
+    f = jax.jit(lambda x: neighbor_sum(srcj, dstj, x, num_vertices))
+    out = f(x)
+    out.block_until_ready()
+    for _ in range(warmup):
+        f(x).block_until_ready()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        f(x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    edges_per_sec = num_edges / dt
+
+    bytes_per_edge = (4 * dim + 8 +
+                      8 * dim * num_vertices / num_edges)
+    roofline = _chip_bandwidth_bytes() / bytes_per_edge
+    return edges_per_sec, edges_per_sec / roofline, dt
+
+
+def bench_query_latency():
+    """End-to-end Test/ query latency for both variants (stderr info)."""
+    from gnnpe_tpu.config import PEConfig, PGEConfig
+    from gnnpe_tpu.engine import PEEngine, PGEEngine
+    from gnnpe_tpu.graph.csr import CSRGraph
+    g = CSRGraph.from_graph_file("/root/reference/Test/data_graph.graph")
+    q = CSRGraph.from_graph_file("/root/reference/Test/query_graph.graph")
+    pe = PEEngine(PEConfig.from_cli(), g).offline().build_index()
+    pe_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = pe.online(q)
+        pe_times.append((time.perf_counter() - t0) * 1e3)
+    assert r.answer_count == 45426, r.answer_count
+    pge = PGEEngine(PGEConfig.from_cli(), g).offline()
+    pge_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r2 = pge.online(q)
+        pge_times.append((time.perf_counter() - t0) * 1e3)
+    assert r2.answer_count == 221832, r2.answer_count
+    return float(np.median(pe_times)), float(np.median(pge_times))
+
+
+def main():
+    edges_per_sec, frac, dt = bench_aggregation()
+    try:
+        pe_ms, pge_ms = bench_query_latency()
+        print(f"[bench] PE online {pe_ms:.1f} ms (ref warm ~3100 ms); "
+              f"PGE online {pge_ms:.1f} ms (ref ~18 ms); "
+              f"SpMM step {dt*1e3:.2f} ms", file=sys.stderr)
+    except Exception as e:  # secondary metrics must not kill the line
+        print(f"[bench] query-latency bench failed: {e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "aggregation_edges_per_sec_chip",
+        "value": round(edges_per_sec),
+        "unit": "edges/s",
+        "vs_baseline": round(frac, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

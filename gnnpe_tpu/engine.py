@@ -57,6 +57,7 @@ class PEEngine:
         self.partition_rows = None
         self.data_pde = None
         self.vertices = None
+        self.index = None
 
     def offline(self):
         """Enumerate + dedup paths and shard them (ref main.cpp:75-120)."""
@@ -66,13 +67,18 @@ class PEEngine:
             membership=self.membership)
         return self
 
-    def build_index(self):
-        """Embed all paths (ref gen_vde+gen_pde, main.cpp:124-126). The
-        packed dominance index (gnnpe_tpu.index) accelerates filtering
-        for large path sets; the flat filter is the semantic ground
-        truth."""
+    def build_index(self, packed: bool = True, block_size: int = 512):
+        """Embed all paths (ref gen_vde+gen_pde, main.cpp:124-126) and
+        build the packed dominance index (the R*-tree replacement; the
+        flat filter remains the semantic ground truth and the fallback)."""
         self.vertices = gen_vde(self.graph, self.config.vde_dim)
         self.data_pde = gen_pde(self.vertices, self.paths)
+        if packed:
+            from gnnpe_tpu.index.packed import PackedDominanceIndex
+            self.index = PackedDominanceIndex.build(
+                self.data_pde, block_size=block_size)
+        else:
+            self.index = None
         return self
 
     def online(self, query_graph: CSRGraph, engine: str = "auto",
@@ -88,9 +94,14 @@ class PEEngine:
             plan = greedy_path_cover(q_paths, weight,
                                      query_graph.num_vertices)
         with t.stage("search"):
-            cands = pe_candidates(self.data_pde, q_pde, plan,
-                                  query_graph.num_vertices,
-                                  epsilon=self.config.epsilon)
+            if self.index is not None:
+                cands = self.index.search(q_pde, plan,
+                                          query_graph.num_vertices,
+                                          epsilon=self.config.epsilon)
+            else:
+                cands = pe_candidates(self.data_pde, q_pde, plan,
+                                      query_graph.num_vertices,
+                                      epsilon=self.config.epsilon)
         with t.stage("refine"):
             res = refinement(self.graph, query_graph, cands,
                              self.config.max_answers, engine=engine,

@@ -1,0 +1,138 @@
+"""Distributed message passing and training over a device mesh.
+
+Strategy (SURVEY.md §2.3 "TPU-native plan"):
+  * the data graph's directed arcs are sharded across the "graph" mesh
+    axis (edge partitioning — replaces the reference's METIS vertex
+    partitioning for the compute path);
+  * each device aggregates its arc shard into a full-width vertex
+    buffer, then partial sums combine with ``psum`` over ICI — the
+    collective form of scatter-add;
+  * path minibatches shard over the "batch" axis (DP); gradients psum
+    over both axes.
+
+Everything is shard_map'd so XLA sees static per-device shapes.  The
+halo-exchange variant (exchange only boundary vertices instead of a
+full psum) is an optimization for vertex-partitioned layouts; the
+edge-parallel psum form is the baseline and is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnnpe_tpu.models.gnn import PathGNN, PathGNNParams
+
+
+def shard_edges(src: np.ndarray, dst: np.ndarray, n_shards: int
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad the arc list to a multiple of n_shards and reshape to
+    [n_shards, E_pad].  Padding arcs point at vertex 0 with src -1; the
+    aggregation masks them out."""
+    e = len(src)
+    per = -(-e // n_shards)
+    pad = per * n_shards - e
+    src_p = np.concatenate([src, np.full(pad, -1, dtype=src.dtype)])
+    dst_p = np.concatenate([dst, np.zeros(pad, dtype=dst.dtype)])
+    return (src_p.reshape(n_shards, per), dst_p.reshape(n_shards, per))
+
+
+def _local_masked_aggregate(src_shard, dst_shard, x, num_vertices):
+    """Segment-sum one arc shard; padded arcs (src<0) contribute zero."""
+    valid = (src_shard >= 0)[:, None]
+    gathered = jnp.where(valid, jnp.take(x, jnp.maximum(src_shard, 0),
+                                         axis=0), 0.0)
+    return jax.ops.segment_sum(gathered, dst_shard,
+                               num_segments=num_vertices)
+
+
+def distributed_neighbor_sum(mesh: Mesh, src_shards, dst_shards, x,
+                             num_vertices: int, axis: str = "graph"):
+    """Edge-parallel aggregation: out[v] = Σ_{(u→v)} x[u], with arc
+    shards on the mesh's graph axis and x replicated.  The psum is the
+    only collective — it rides ICI."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P()), out_specs=P())
+    def agg(src_shard, dst_shard, x_rep):
+        local = _local_masked_aggregate(src_shard[0], dst_shard[0],
+                                        x_rep, num_vertices)
+        return jax.lax.psum(local, axis)
+
+    return agg(src_shards, dst_shards, x)
+
+
+def make_distributed_train_step(model: PathGNN, mesh: Mesh,
+                                optimizer, num_vertices: int,
+                                graph_axis: str = "graph",
+                                batch_axis: Optional[str] = "batch"):
+    """Build a jit-compiled SPMD training step.
+
+    Sharding layout:
+      params, opt_state, labels — replicated
+      src/dst arc shards        — graph axis
+      paths, subpath_pairs      — batch axis (DP).  Pair indices are
+        SHARD-LOCAL: pairs[i] on a device references rows of that
+        device's path shard (global indices would read across shards).
+
+    The step: forward (edge-parallel aggregation with psum over the
+    graph axis) → dominance loss on the local path batch → grads psum
+    over every mesh axis → optimizer update (identical on all devices).
+    """
+    axes = [a for a in (graph_axis, batch_axis) if a and a in mesh.axis_names]
+
+    def loss_fn(params, labels, src_shard, dst_shard, paths, pairs):
+        agg = lambda h: jax.lax.psum(
+            _local_masked_aggregate(src_shard, dst_shard, h,
+                                    num_vertices), graph_axis)
+        return _sharded_dominance_loss(model, params, labels, agg,
+                                       num_vertices, paths, pairs)
+
+    in_specs = (P(), P(), P(graph_axis), P(graph_axis),
+                P(batch_axis) if batch_axis else P(),
+                P(batch_axis) if batch_axis else P(), P())
+    out_specs = (P(), P(), P())
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs)
+    def step(params, labels, src_shards, dst_shards, paths, pairs,
+             opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, labels, src_shards[0], dst_shards[0], paths, pairs)
+        for a in axes:
+            grads = jax.lax.pmean(grads, a)
+            loss = jax.lax.pmean(loss, a)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def _sharded_dominance_loss(model, params, labels, aggregate,
+                            num_vertices, paths, pairs):
+    """dominance_loss with an injected (collective) aggregation."""
+    pde = model.path_embeddings(params, labels, None, None, num_vertices,
+                                paths, aggregate=aggregate)
+    pi = jnp.take(pde, pairs[:, 0], axis=0)
+    pj = jnp.take(pde, pairs[:, 1], axis=0)
+    violation = jnp.maximum(pi - pj, 0.0)
+    anti_collapse = jnp.maximum(1.0 - jnp.mean(pde, axis=0), 0.0)
+    return jnp.mean(violation ** 2) + 0.01 * jnp.mean(anti_collapse ** 2)
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree replicated on every mesh device."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_along(mesh: Mesh, arr, axis_name: str):
+    """Place an array with its leading dim split over one mesh axis."""
+    return jax.device_put(arr, NamedSharding(mesh, P(axis_name)))
