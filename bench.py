@@ -57,27 +57,45 @@ def synth_graph(num_vertices: int, num_edges: int, seed: int = 0):
     return src[order], dst[order]
 
 
-def bench_aggregation(num_vertices=1_000_000, num_edges=8_000_000,
-                      dim=128, iters=20, warmup=3):
+def bench_aggregation(num_vertices=100_000, num_edges=800_000,
+                      dim=128, inner_iters=10, reps=3,
+                      implementation="pallas"):
+    """Measure aggregation edges/s with the iteration loop INSIDE one
+    jit (a data dependency chains iterations), so per-dispatch overhead
+    — tens of ms through the axon relay — cannot distort the number."""
     import jax
     import jax.numpy as jnp
-    from gnnpe_tpu.ops.spmm import neighbor_sum
 
     src, dst = synth_graph(num_vertices, num_edges)
     x = jnp.asarray(np.random.RandomState(1).rand(
         num_vertices, dim).astype(np.float32))
-    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
 
-    f = jax.jit(lambda x: neighbor_sum(srcj, dstj, x, num_vertices))
-    out = f(x)
-    out.block_until_ready()
-    for _ in range(warmup):
-        f(x).block_until_ready()
+    if implementation == "pallas":
+        from gnnpe_tpu.ops.pallas import spmm_kernel as sk
+        counts = np.bincount(dst, minlength=num_vertices)
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        s, dl, tp = sk.csr_tiles(offs, src)
+        sj, dlj, tpj = jnp.asarray(s), jnp.asarray(dl), jnp.asarray(tp)
+
+        def body(i, x):
+            out = sk.spmm_pallas_prepared(sj, dlj, tpj, x,
+                                          num_vertices=num_vertices)
+            return x + out[:num_vertices] * 1e-9
+    else:
+        from gnnpe_tpu.ops.spmm import neighbor_sum
+        srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+
+        def body(i, x):
+            out = neighbor_sum(srcj, dstj, x, num_vertices)
+            return x + out * 1e-9
+
+    f = jax.jit(lambda x: jax.lax.fori_loop(0, inner_iters, body, x))
+    f(x).block_until_ready()
     times = []
-    for _ in range(iters):
+    for _ in range(reps):
         t0 = time.perf_counter()
         f(x).block_until_ready()
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / inner_iters)
     dt = float(np.median(times))
     edges_per_sec = num_edges / dt
 

@@ -125,14 +125,22 @@ class PGEEngine:
         self.group = None
         self.label_group = None
 
-    def offline(self):
-        """VDE + per-vertex path groups (ref GNN-PGE/src/main.cpp:91-177)."""
+    def offline(self, packed: bool = True):
+        """VDE + per-vertex path groups (ref GNN-PGE/src/main.cpp:91-177)
+        + packed vertex index."""
         self.vertices = gen_vde(self.graph, self.config.vde_dim)
         order = degree_sorted_nodes(self.graph)
         paths, _ = enumerate_paths(self.graph, order,
                                    self.config.path_length, dedup=False)
         self.group, self.label_group = path_groups(
             self.vertices, paths[:, 0], paths, self.config.pde_dim)
+        if packed:
+            from gnnpe_tpu.index.packed import PGEPackedIndex
+            self.index = PGEPackedIndex.build(
+                self.vertices.labels, self.vertices.degrees,
+                self.group, self.label_group)
+        else:
+            self.index = None
         return self
 
     def online(self, query_graph: CSRGraph, engine: str = "auto",
@@ -153,11 +161,16 @@ class PGEEngine:
                 qv, q_paths[:, 0], q_paths, self.config.pde_dim)
         with t.stage("search"):
             nq = query_graph.num_vertices
-            cands = pge_candidates(
-                self.vertices.labels, self.vertices.degrees,
-                self.group, self.label_group,
-                qv.labels, qv.degrees, q_group, q_label_group,
-                q_vertex_ids=list(range(nq)))
+            if getattr(self, "index", None) is not None:
+                cands = self.index.search(qv.labels, qv.degrees,
+                                          q_group, q_label_group,
+                                          list(range(nq)))
+            else:
+                cands = pge_candidates(
+                    self.vertices.labels, self.vertices.degrees,
+                    self.group, self.label_group,
+                    qv.labels, qv.degrees, q_group, q_label_group,
+                    q_vertex_ids=list(range(nq)))
         with t.stage("refine"):
             res = refinement(self.graph, query_graph, cands,
                              self.config.max_answers, engine=engine,

@@ -1,3 +1,3 @@
-from gnnpe_tpu.index.packed import PackedDominanceIndex
+from gnnpe_tpu.index.packed import PackedDominanceIndex, PGEPackedIndex
 
-__all__ = ["PackedDominanceIndex"]
+__all__ = ["PackedDominanceIndex", "PGEPackedIndex"]

@@ -156,3 +156,86 @@ class PackedDominanceIndex:
         return [np.unique(np.concatenate(s).astype(np.int64))
                 if s else np.zeros(0, dtype=np.int64)
                 for s in out_sets]
+
+
+@dataclass
+class PGEPackedIndex:
+    """PGE variant: one entry per VERTEX, boxed by its path group
+    (GNN-PGE custom.h:160-186) — block summaries mirror the PGE
+    auxiliary index (scalar max degree + label MBR,
+    GNN-PGE custom.h:197-290)."""
+
+    order: np.ndarray          # int64[V'] sorted vertex ids
+    block_size: int
+    labels: np.ndarray         # int32[V']
+    degrees: np.ndarray        # int32[V']
+    group: np.ndarray          # f64[V', 2, D]
+    label_group: np.ndarray    # f64[V', 2, D]
+    blk_group_ub: np.ndarray   # f64[NB, D] max of upper bounds
+    blk_lgroup_lo: np.ndarray  # f64[NB, D]
+    blk_lgroup_hi: np.ndarray  # f64[NB, D]
+    blk_max_deg: np.ndarray    # int32[NB]
+    blk_labels: np.ndarray     # int32[NB] first label in block
+
+    @classmethod
+    def build(cls, labels, degrees, group, label_group,
+              block_size: int = 512,
+              rows: Optional[np.ndarray] = None) -> "PGEPackedIndex":
+        rows = (np.arange(len(labels))
+                if rows is None else np.asarray(rows))
+        key = -group[rows, 1, :].sum(axis=1)
+        order_local = np.lexsort([key, labels[rows]])
+        order = rows[order_local]
+        labels_s = labels[order]
+        degrees_s = degrees[order]
+        group_s = group[order]
+        lgroup_s = label_group[order]
+        v = len(order)
+        nb = -(-v // block_size) if v else 0
+        pad = nb * block_size - v
+
+        def blockify(a, fill):
+            a2 = np.concatenate(
+                [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) \
+                if pad else a
+            return a2.reshape(nb, block_size, *a.shape[1:])
+
+        return cls(
+            order=order, block_size=block_size, labels=labels_s,
+            degrees=degrees_s, group=group_s, label_group=lgroup_s,
+            blk_group_ub=blockify(group_s[:, 1, :], -np.inf).max(axis=1),
+            blk_lgroup_lo=np.nanmin(
+                blockify(lgroup_s[:, 0, :], np.nan), axis=1),
+            blk_lgroup_hi=np.nanmax(
+                blockify(lgroup_s[:, 1, :], np.nan), axis=1),
+            blk_max_deg=blockify(degrees_s, 0).max(axis=1),
+            blk_labels=blockify(labels_s, -1)[:, 0])
+
+    def search(self, q_labels, q_degrees, q_group, q_label_group,
+               q_vertex_ids) -> List[np.ndarray]:
+        """Pruned PGE search, identical output to pge_candidates."""
+        out: List[np.ndarray] = []
+        v = len(self.order)
+        for j, _ in enumerate(q_vertex_ids):
+            bm = ((self.blk_max_deg >= q_degrees[j]) &
+                  (self.blk_group_ub >= q_group[j, 0, :]).all(-1) &
+                  ((self.blk_lgroup_hi >= q_label_group[j, 0, :]) &
+                   (self.blk_lgroup_lo <= q_label_group[j, 1, :])
+                   ).all(-1))
+            blocks = np.nonzero(bm)[0]
+            if not len(blocks):
+                out.append(np.zeros(0, dtype=np.int64))
+                continue
+            rows = np.concatenate(
+                [np.arange(b * self.block_size,
+                           min((b + 1) * self.block_size, v))
+                 for b in blocks])
+            ok = ((q_degrees[j] <= self.degrees[rows]) &
+                  (q_labels[j] == self.labels[rows]) &
+                  ((self.label_group[rows, 1, :] >=
+                    q_label_group[j, 0, :]) &
+                   (self.label_group[rows, 0, :] <=
+                    q_label_group[j, 1, :])).all(-1) &
+                  (self.group[rows, 1, :] >= q_group[j, 0, :]).all(-1))
+            out.append(np.sort(self.order[rows[ok]]).astype(np.int64))
+        return out

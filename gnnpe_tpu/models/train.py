@@ -1,0 +1,141 @@
+"""Training orchestration for the PathGNN family.
+
+The reference has no training loop at all (SURVEY.md §0.1) — this is
+the new capability the north star asks for: train path embeddings with
+the same SpMM/gather kernels the fixed pipeline uses, preserving the
+dominance invariant via the non-negative parameterization.
+
+Training data: sampled (sub-path, super-path) pairs with a label-
+preserving vertex mapping — positive pairs for the dominance hinge.
+Single-chip ``fit`` here; the multi-chip step lives in
+gnnpe_tpu.parallel.dist.make_distributed_train_step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from gnnpe_tpu.graph.csr import CSRGraph
+from gnnpe_tpu.models.gnn import PathGNN, PathGNNParams, dominance_loss
+
+
+def sample_dominance_pairs(graph: CSRGraph, paths: np.ndarray,
+                           num_pairs: int, seed: int = 0) -> np.ndarray:
+    """int32[B, 2] rows (i, j): path i should be dominated by path j.
+
+    Positive construction: j shares i's label sequence position-wise
+    and each of i's vertices has degree ≤ j's (the monomorphism
+    necessary conditions the index prunes with; custom.h:410-434)."""
+    rng = np.random.RandomState(seed)
+    p = paths.shape[0]
+    labels = np.take(graph.labels, paths)
+    degrees = np.take(graph.degrees, paths)
+    # Bucket paths by label signature; sample i,j within a bucket with
+    # degrees(i) <= degrees(j).
+    sig = np.ascontiguousarray(labels).view(
+        np.dtype((np.void, labels.dtype.itemsize * labels.shape[1])))
+    _, inverse = np.unique(sig.ravel(), return_inverse=True)
+    by_bucket: Dict[int, np.ndarray] = {}
+    for b in np.unique(inverse):
+        by_bucket[b] = np.nonzero(inverse == b)[0]
+    pairs = []
+    buckets = [b for b, rows in by_bucket.items() if len(rows) >= 2]
+    if not buckets:
+        return np.zeros((0, 2), dtype=np.int32)
+    while len(pairs) < num_pairs:
+        b = buckets[rng.randint(len(buckets))]
+        rows = by_bucket[b]
+        i, j = rows[rng.randint(len(rows), size=2)]
+        if (degrees[i] <= degrees[j]).all():
+            pairs.append((i, j))
+        elif (degrees[j] <= degrees[i]).all():
+            pairs.append((j, i))
+    return np.array(pairs, dtype=np.int32)
+
+
+@dataclass
+class TrainState:
+    params: PathGNNParams
+    opt_state: object
+    step: int = 0
+    history: List[float] = field(default_factory=list)
+
+
+def fit(model: PathGNN, graph: CSRGraph, paths: np.ndarray,
+        num_steps: int = 100, batch_size: int = 1024,
+        learning_rate: float = 1e-3, seed: int = 0,
+        init_from_reference: bool = True,
+        state: Optional[TrainState] = None) -> TrainState:
+    """Single-chip training loop (jit'd step, resumable via ``state``)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    optimizer = optax.adam(learning_rate)
+    if state is None:
+        if init_from_reference:
+            from gnnpe_tpu.ops.mt19937 import label_feature_table
+            table = label_feature_table(graph.labels_count, model.dim)
+            params = model.init(jax.random.key(seed),
+                                labels_count=graph.labels_count,
+                                label_table=table)
+        else:
+            params = model.init(jax.random.key(seed),
+                                labels_count=graph.labels_count)
+        state = TrainState(params=params,
+                           opt_state=optimizer.init(params))
+
+    src, dst = graph.coo()
+    labels = jnp.asarray(graph.labels)
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    pairs_all = sample_dominance_pairs(graph, paths,
+                                       num_pairs=batch_size * 8,
+                                       seed=seed)
+    if not len(pairs_all):
+        raise ValueError("no dominance pairs could be sampled")
+    paths_j = jnp.asarray(paths.astype(np.int32))
+
+    @jax.jit
+    def step_fn(params, opt_state, pairs):
+        loss, grads = jax.value_and_grad(
+            lambda p: dominance_loss(model, p, labels, srcj, dstj,
+                                     graph.num_vertices, paths_j,
+                                     pairs))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(seed + 1)
+    for _ in range(num_steps):
+        batch = pairs_all[rng.randint(len(pairs_all), size=batch_size)]
+        state.params, state.opt_state, loss = step_fn(
+            state.params, state.opt_state, jnp.asarray(batch))
+        state.step += 1
+        state.history.append(float(loss))
+    return state
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """npz checkpoint of params + step (resumable; optimizer state is
+    reconstructed on resume, matching common practice for Adam restarts
+    at stage boundaries)."""
+    import jax
+    flat, treedef = jax.tree.flatten(state.params)
+    np.savez(path, step=state.step,
+             **{f"p{i}": np.asarray(l) for i, l in enumerate(flat)})
+
+
+def load_checkpoint(path: str, model: PathGNN, labels_count: int
+                    ) -> TrainState:
+    import jax
+    import optax
+    z = np.load(path)
+    template = model.init(jax.random.key(0), labels_count=labels_count)
+    flat, treedef = jax.tree.flatten(template)
+    leaves = [z[f"p{i}"] for i in range(len(flat))]
+    params = jax.tree.unflatten(treedef, leaves)
+    optimizer = optax.adam(1e-3)
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=int(z["step"]))

@@ -1,0 +1,137 @@
+"""Aggregation-op tests: ELL layout, Pallas kernel (interpret mode),
+and the device filter — all against the host ground truth."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnnpe_tpu.graph.csr import CSRGraph
+from gnnpe_tpu.ops.ell import build_ell
+from gnnpe_tpu.ops.spmm import neighbor_sum_np
+
+
+def _ref_agg(g, x):
+    out = np.zeros_like(x)
+    for v in range(g.num_vertices):
+        nb = g.vertex_neighbors(v)
+        if len(nb):
+            out[v] = x[nb].sum(0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def rand_graph():
+    rng = np.random.RandomState(0)
+    edges = ([[0, i] for i in range(1, 200)] +
+             rng.randint(1, 300, (800, 2)).tolist())
+    edges = np.array([e for e in edges if e[0] != e[1]])
+    return CSRGraph.from_edges(300, edges, np.zeros(300, dtype=np.int64))
+
+
+def test_ell_matches_reference(rand_graph):
+    rng = np.random.RandomState(1)
+    x = rng.rand(300, 64).astype(np.float32)
+    want = _ref_agg(rand_graph, x)
+    for w, w2 in [(8, 8), (4, 4), (16, 2)]:
+        lay = build_ell(rand_graph.offsets, rand_graph.neighbors,
+                        width=w, level2_width=w2)
+        got = np.asarray(lay.apply(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ell_overhead_reasonable(data_graph):
+    lay = build_ell(data_graph.offsets, data_graph.neighbors, width=8)
+    arcs = len(data_graph.neighbors)
+    assert lay.num_slots < 4 * arcs, lay.num_slots / arcs
+
+
+def test_ell_isolated_vertices():
+    g = CSRGraph.from_edges(5, np.array([[0, 1]]),
+                            np.zeros(5, dtype=np.int64))
+    lay = build_ell(g.offsets, g.neighbors, width=8)
+    out = np.asarray(lay.apply(jnp.ones((5, 4), jnp.float32)))
+    assert (out[2:] == 0).all() and out[0, 0] == 1.0
+
+
+def test_pallas_spmm_interpret(rand_graph):
+    from gnnpe_tpu.ops.pallas.spmm_kernel import spmm_pallas
+    rng = np.random.RandomState(2)
+    x = rng.rand(300, 128).astype(np.float32)
+    want = _ref_agg(rand_graph, x)
+    got = np.asarray(spmm_pallas(rand_graph.offsets,
+                                 rand_graph.neighbors,
+                                 jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_device_filter_superset_and_count(data_graph, query_graph):
+    """f32 device filter must produce a superset of the exact f64
+    candidates, and the refined count must be unchanged (PGE-exact
+    semantics)."""
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.engine import PEEngine
+    from gnnpe_tpu.match.device_filter import pe_candidates_device
+    from gnnpe_tpu.match.refine import refinement
+    from gnnpe_tpu.embed.vde import gen_vde
+    from gnnpe_tpu.embed.pde import gen_query_pde_table
+    from gnnpe_tpu.paths.enumerate import enumerate_paths
+    from gnnpe_tpu.match.plan import greedy_path_cover
+
+    eng = PEEngine(PEConfig.from_cli(), data_graph).offline() \
+        .build_index(packed=False)
+    qv = gen_vde(query_graph, 2)
+    qp, _ = enumerate_paths(query_graph, np.arange(8), 3, dedup=True)
+    q_pde, weight, _ = gen_query_pde_table(qv, qp)
+    plan = greedy_path_cover(qp, weight, 8)
+
+    from gnnpe_tpu.match.filter import pe_candidates
+    exact = pe_candidates(eng.data_pde, q_pde, plan, 8)
+    fast = pe_candidates_device(eng.data_pde, q_pde, plan, 8)
+    for e, f in zip(exact, fast):
+        assert set(e.tolist()) <= set(f.tolist()), "dropped candidates"
+    # refinement count from the superset equals the strict-PE count on
+    # this fixture (start-vertex candidate set unchanged here)
+    n_exact = refinement(data_graph, query_graph, exact)
+    n_fast = refinement(data_graph, query_graph, fast)
+    assert n_exact == 45426
+    assert n_fast >= n_exact
+
+
+def test_sharded_filter_matches(data_graph, query_graph):
+    """shard_map'd PE mask == single-device mask."""
+    import jax
+    from gnnpe_tpu.parallel.mesh import make_mesh
+    from gnnpe_tpu.match.device_filter import (pe_mask_device,
+                                               pe_mask_sharded)
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.engine import PEEngine
+    from gnnpe_tpu.embed.vde import gen_vde
+    from gnnpe_tpu.embed.pde import gen_query_pde_table
+    from gnnpe_tpu.paths.enumerate import enumerate_paths
+    from gnnpe_tpu.match.plan import greedy_path_cover
+
+    eng = PEEngine(PEConfig.from_cli(), data_graph).offline() \
+        .build_index(packed=False)
+    qv = gen_vde(query_graph, 2)
+    qp, _ = enumerate_paths(query_graph, np.arange(8), 3, dedup=True)
+    q_pde, weight, _ = gen_query_pde_table(qv, qp)
+    plan = np.asarray(greedy_path_cover(qp, weight, 8))
+
+    n = 4
+    mesh = make_mesh(n, axes=("graph",), shape=(n,))
+    p = eng.data_pde.num_paths
+    pad = -(-p // n) * n - p
+
+    def padded(a, fill):
+        return jnp.asarray(np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]))
+
+    dl = padded(eng.data_pde.labels, -1)
+    dd = padded(eng.data_pde.degrees, 0)
+    dp = padded(eng.data_pde.pde.astype(np.float32), 0.0)
+    ql = jnp.asarray(q_pde.labels[plan])
+    qd = jnp.asarray(q_pde.degrees[plan])
+    qp_ = jnp.asarray(q_pde.pde[plan].astype(np.float32))
+    single = pe_mask_device(dl, dd, dp, ql, qd, qp_, 1e-5)
+    sharded = pe_mask_sharded(mesh, dl, dd, dp, ql, qd, qp_, 1e-5)
+    assert np.array_equal(np.asarray(single), np.asarray(sharded))
