@@ -58,11 +58,16 @@ def synth_graph(num_vertices: int, num_edges: int, seed: int = 0):
 
 
 def bench_aggregation(num_vertices=100_000, num_edges=800_000,
-                      dim=128, inner_iters=10, reps=3,
-                      implementation="pallas"):
-    """Measure aggregation edges/s with the iteration loop INSIDE one
-    jit (a data dependency chains iterations), so per-dispatch overhead
-    — tens of ms through the axon relay — cannot distort the number."""
+                      dim=128, implementation="ell"):
+    """Measure aggregation edges/s.
+
+    Methodology (required by this environment): the iteration loop runs
+    INSIDE one jit with a data dependency chaining iterations, the
+    result is forced to the host via a scalar readback (block_until_
+    ready does not actually block through the axon relay), and the
+    per-iteration time is the DIFFERENCE between a long and a short
+    loop, cancelling the ~40 ms fixed dispatch+readback cost.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -77,26 +82,38 @@ def bench_aggregation(num_vertices=100_000, num_edges=800_000,
         s, dl, tp = sk.csr_tiles(offs, src)
         sj, dlj, tpj = jnp.asarray(s), jnp.asarray(dl), jnp.asarray(tp)
 
-        def body(i, x):
-            out = sk.spmm_pallas_prepared(sj, dlj, tpj, x,
-                                          num_vertices=num_vertices)
-            return x + out[:num_vertices] * 1e-9
+        def agg(x):
+            return sk.spmm_pallas_prepared(
+                sj, dlj, tpj, x, num_vertices=num_vertices)[:num_vertices]
+    elif implementation == "ell":
+        from gnnpe_tpu.ops.ell import build_ell
+        counts = np.bincount(dst, minlength=num_vertices)
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        layout = build_ell(offs, src, width=8, level2_width=8)
+        agg = layout.apply
     else:
         from gnnpe_tpu.ops.spmm import neighbor_sum
         srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+        agg = lambda x: neighbor_sum(srcj, dstj, x, num_vertices)
 
-        def body(i, x):
-            out = neighbor_sum(srcj, dstj, x, num_vertices)
-            return x + out * 1e-9
+    def make(iters):
+        body = lambda i, x: x + agg(x) * 1e-9
+        return jax.jit(
+            lambda x: jax.lax.fori_loop(0, iters, body, x).sum())
 
-    f = jax.jit(lambda x: jax.lax.fori_loop(0, inner_iters, body, x))
-    f(x).block_until_ready()
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        f(x).block_until_ready()
-        times.append((time.perf_counter() - t0) / inner_iters)
-    dt = float(np.median(times))
+    def readback_time(f, reps=2):
+        float(f(x))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    short_iters, long_iters = 2, 12
+    t_short = readback_time(make(short_iters))
+    t_long = readback_time(make(long_iters))
+    dt = max((t_long - t_short) / (long_iters - short_iters), 1e-9)
     edges_per_sec = num_edges / dt
 
     bytes_per_edge = (4 * dim + 8 +

@@ -58,6 +58,7 @@ class PEEngine:
         self.data_pde = None
         self.vertices = None
         self.index = None
+        self.sharded = None
 
     def offline(self):
         """Enumerate + dedup paths and shard them (ref main.cpp:75-120)."""
@@ -81,8 +82,19 @@ class PEEngine:
             self.index = None
         return self
 
+    def attach_mesh(self, mesh, axis: str = "graph"):
+        """Shard the path table over ``mesh``'s ``axis`` for distributed
+        online search (the TPU form of the reference's per-partition
+        OpenMP search + serial union, main.cpp:155-172)."""
+        from gnnpe_tpu.parallel.query import ShardedPESearch
+        assert self.data_pde is not None, "call offline() + build_index()"
+        self.sharded = ShardedPESearch(mesh, self.data_pde, axis=axis,
+                                       base_epsilon=self.config.epsilon)
+        return self
+
     def online(self, query_graph: CSRGraph, engine: str = "auto",
-               return_embeddings: bool = False) -> MatchResult:
+               return_embeddings: bool = False,
+               union: str = "host") -> MatchResult:
         assert self.data_pde is not None, "call offline() + build_index()"
         t = StageTimer()
         with t.stage("query_plan"):
@@ -94,7 +106,11 @@ class PEEngine:
             plan = greedy_path_cover(q_paths, weight,
                                      query_graph.num_vertices)
         with t.stage("search"):
-            if self.index is not None:
+            if self.sharded is not None:
+                cands = self.sharded.search(q_pde, plan,
+                                            query_graph.num_vertices,
+                                            union=union)
+            elif self.index is not None:
                 cands = self.index.search(q_pde, plan,
                                           query_graph.num_vertices,
                                           epsilon=self.config.epsilon)
@@ -124,6 +140,7 @@ class PGEEngine:
         self.vertices = None
         self.group = None
         self.label_group = None
+        self.sharded = None
 
     def offline(self, packed: bool = True):
         """VDE + per-vertex path groups (ref GNN-PGE/src/main.cpp:91-177)
@@ -141,6 +158,16 @@ class PGEEngine:
                 self.group, self.label_group)
         else:
             self.index = None
+        return self
+
+    def attach_mesh(self, mesh, axis: str = "graph"):
+        """Shard the vertex table over ``mesh`` for distributed online
+        search (GNN-PGE/src/main.cpp:342-346's OpenMP loop, SPMD form)."""
+        from gnnpe_tpu.parallel.query import ShardedPGESearch
+        assert self.group is not None, "call offline() first"
+        self.sharded = ShardedPGESearch(
+            mesh, self.vertices.labels, self.vertices.degrees,
+            self.group, self.label_group, axis=axis)
         return self
 
     def online(self, query_graph: CSRGraph, engine: str = "auto",
@@ -161,7 +188,11 @@ class PGEEngine:
                 qv, q_paths[:, 0], q_paths, self.config.pde_dim)
         with t.stage("search"):
             nq = query_graph.num_vertices
-            if getattr(self, "index", None) is not None:
+            if self.sharded is not None:
+                cands = self.sharded.search(qv.labels, qv.degrees,
+                                            q_group, q_label_group,
+                                            list(range(nq)))
+            elif getattr(self, "index", None) is not None:
                 cands = self.index.search(qv.labels, qv.degrees,
                                           q_group, q_label_group,
                                           list(range(nq)))

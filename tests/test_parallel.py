@@ -91,3 +91,47 @@ def test_graft_entry_contract():
     assert out.ndim == 2 and np.isfinite(np.asarray(out)).all()
     ge.dryrun_multichip(8)
     ge.dryrun_multichip(3)   # non-power-of-two meshes must work too
+
+
+# ---------------------------------------------------------------------
+# Distributed online candidate search (parallel/query.py): equality
+# with the exact host filter + end-to-end answer parity on Test/.
+
+@pytest.fixture(scope="module")
+def pe_engine_sharded(data_graph):
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.engine import PEEngine
+    eng = PEEngine(PEConfig.from_cli(l=2, e=2, p=5),
+                   data_graph).offline().build_index(packed=False)
+    return eng.attach_mesh(make_mesh(8, axes=("graph",), shape=(8,)))
+
+
+def test_sharded_pe_answer_parity(pe_engine_sharded, query_graph,
+                                  golden_meta):
+    r = pe_engine_sharded.online(query_graph, engine="python")
+    assert r.answer_count == golden_meta["pe"]["answer_number"]
+    assert [len(c) for c in r.candidates] == \
+        golden_meta["pe"]["candidate_sizes"]
+
+
+def test_sharded_pe_device_union_superset(pe_engine_sharded, query_graph,
+                                          golden_meta):
+    """union="device" (bitmap + psum-OR) must produce a superset of the
+    exact candidates (f32 slack only adds) and the same final count."""
+    exact = pe_engine_sharded.online(query_graph, engine="python",
+                                     union="host")
+    dev = pe_engine_sharded.online(query_graph, engine="python",
+                                   union="device")
+    for ce, cd in zip(exact.candidates, dev.candidates):
+        assert set(map(int, ce)) <= set(map(int, cd))
+    assert dev.answer_count >= golden_meta["pe"]["answer_number"]
+
+
+def test_sharded_pge_answer_parity(data_graph, query_graph, golden_meta):
+    from gnnpe_tpu.config import PGEConfig
+    from gnnpe_tpu.engine import PGEEngine
+    eng = PGEEngine(PGEConfig.from_cli(l=2, e=2, p=5),
+                    data_graph).offline(packed=False)
+    eng.attach_mesh(make_mesh(8, axes=("graph",), shape=(8,)))
+    r = eng.online(query_graph, engine="python")
+    assert r.answer_count == golden_meta["pge"]["answer_number"]
