@@ -94,7 +94,7 @@ class PEEngine:
 
     def online(self, query_graph: CSRGraph, engine: str = "auto",
                return_embeddings: bool = False,
-               union: str = "host") -> MatchResult:
+               union: str = "host", preverify: int = 0) -> MatchResult:
         assert self.data_pde is not None, "call offline() + build_index()"
         t = StageTimer()
         with t.stage("query_plan"):
@@ -118,6 +118,11 @@ class PEEngine:
                 cands = pe_candidates(self.data_pde, q_pde, plan,
                                       query_graph.num_vertices,
                                       epsilon=self.config.epsilon)
+        if preverify:
+            with t.stage("preverify"):
+                from gnnpe_tpu.match.preverify import semijoin_prune
+                cands = semijoin_prune(self.graph, query_graph, cands,
+                                       iters=preverify)
         with t.stage("refine"):
             res = refinement(self.graph, query_graph, cands,
                              self.config.max_answers, engine=engine,
@@ -171,7 +176,8 @@ class PGEEngine:
         return self
 
     def online(self, query_graph: CSRGraph, engine: str = "auto",
-               return_embeddings: bool = False) -> MatchResult:
+               return_embeddings: bool = False,
+               preverify: int = 0) -> MatchResult:
         assert self.group is not None, "call offline() first"
         t = StageTimer()
         with t.stage("query_plan"):
@@ -202,6 +208,11 @@ class PGEEngine:
                     self.group, self.label_group,
                     qv.labels, qv.degrees, q_group, q_label_group,
                     q_vertex_ids=list(range(nq)))
+        if preverify:
+            with t.stage("preverify"):
+                from gnnpe_tpu.match.preverify import semijoin_prune
+                cands = semijoin_prune(self.graph, query_graph, cands,
+                                       iters=preverify)
         with t.stage("refine"):
             res = refinement(self.graph, query_graph, cands,
                              self.config.max_answers, engine=engine,

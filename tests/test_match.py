@@ -123,3 +123,19 @@ def test_gql_order_properties(query_graph):
     for i in range(1, 8):
         for w in bn[i]:
             assert pos[int(w)] < i and int(w) != int(pivot[i])
+
+
+def test_preverify_shrinks_and_preserves_answers(pe_engine, pge_engine,
+                                                 query_graph, golden_meta):
+    """Semi-join pruning (match/preverify.py) must shrink candidate
+    sets and leave both variants' answer counts unchanged."""
+    r_pe = pe_engine.online(query_graph, engine="python", preverify=3)
+    assert r_pe.answer_count == golden_meta["pe"]["answer_number"]
+    base = pe_engine.online(query_graph, engine="python")
+    assert sum(len(c) for c in r_pe.candidates) <= \
+        sum(len(c) for c in base.candidates)
+    for pruned, full in zip(r_pe.candidates, base.candidates):
+        assert set(map(int, pruned)) <= set(map(int, full))
+
+    r_pge = pge_engine.online(query_graph, engine="python", preverify=3)
+    assert r_pge.answer_count == golden_meta["pge"]["answer_number"]
