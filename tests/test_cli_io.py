@@ -91,3 +91,38 @@ def test_data_vertices_bin_roundtrip(tmp_path, data_graph):
     golden = open("tests/golden/data_vertices_pge.bin", "rb").read()
     mine = open(path, "rb").read()
     assert mine == golden, "binary layout must match the reference"
+
+
+def test_dataset_ladder_generators():
+    """Synthetic ladder rungs: deterministic, connected queries with
+    guaranteed matches (labels inherited from the walk)."""
+    from gnnpe_tpu.io.datasets import (er_graph, powerlaw_graph,
+                                       sample_query)
+    g = powerlaw_graph(2000, 8000, 16, seed=1)
+    g2 = powerlaw_graph(2000, 8000, 16, seed=1)
+    assert g.num_edges == 8000
+    np.testing.assert_array_equal(g.neighbors, g2.neighbors)
+    assert g.labels.max() < 16
+    deg = np.diff(g.offsets)
+    assert deg.max() > 10 * max(np.median(deg), 1)   # power-law head
+
+    q = sample_query(g, 6, tree=True, seed=2)
+    assert q.num_vertices == 6 and q.num_edges == 5    # tree
+    from gnnpe_tpu.graph.ops import connected_components
+    assert (connected_components(q) == 0).all()
+
+    e = er_graph(500, 2000, 4, seed=0)
+    assert e.num_edges == 2000
+
+
+def test_ladder_query_has_matches():
+    """End-to-end on a synthetic rung: the sampled query must match
+    (walk construction guarantees ≥1 embedding)."""
+    from gnnpe_tpu.config import PGEConfig
+    from gnnpe_tpu.engine import PGEEngine
+    from gnnpe_tpu.io.datasets import powerlaw_graph, sample_query
+    g = powerlaw_graph(800, 3000, 8, seed=3)
+    q = sample_query(g, 4, tree=True, seed=4)
+    eng = PGEEngine(PGEConfig.from_cli(l=1, e=2, p=2), g).offline()
+    r = eng.online(q, engine="python")
+    assert r.answer_count >= 1

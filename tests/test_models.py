@@ -112,3 +112,19 @@ def test_grad_flows_to_all_params(toy):
     # at least embed and first-layer weights receive signal
     assert np.abs(np.asarray(grads.embed)).max() > 0
     assert np.abs(np.asarray(grads.w_nbr[0])).max() > 0
+
+
+def test_fit_binned_aggregation_matches_segment(toy):
+    """fit(aggregation="binned") must optimize the same objective —
+    losses track the segment-sum path closely step by step."""
+    from gnnpe_tpu.models.gnn import PathGNN
+    from gnnpe_tpu.models.train import fit
+    rng = np.random.RandomState(0)
+    paths = rng.randint(0, toy.num_vertices, (64, 3)).astype(np.int32)
+    kw = dict(num_steps=5, batch_size=64, seed=0)
+    m1 = PathGNN(dim=4, num_layers=1, labels_count=6)
+    s_seg = fit(m1, toy, paths, **kw)
+    m2 = PathGNN(dim=4, num_layers=1, labels_count=6)
+    s_bin = fit(m2, toy, paths, aggregation="binned", **kw)
+    np.testing.assert_allclose(s_seg.history, s_bin.history,
+                               rtol=1e-3, atol=1e-5)

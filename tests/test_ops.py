@@ -135,3 +135,66 @@ def test_sharded_filter_matches(data_graph, query_graph):
     single = pe_mask_device(dl, dd, dp, ql, qd, qp_, 1e-5)
     sharded = pe_mask_sharded(mesh, dl, dd, dp, ql, qd, qp_, 1e-5)
     assert np.array_equal(np.asarray(single), np.asarray(sharded))
+
+
+def test_binned_ell_matches_reference(rand_graph):
+    """Degree-binned relabeled layout == host SpMM, at low padding."""
+    import jax.numpy as jnp
+    from gnnpe_tpu.ops.ell import build_binned_ell
+    from gnnpe_tpu.ops.spmm import neighbor_sum_np
+    x = np.random.RandomState(0).rand(
+        rand_graph.num_vertices, 16).astype(np.float32)
+    want = neighbor_sum_np(rand_graph.offsets, rand_graph.neighbors,
+                           x.astype(np.float64))
+    lay = build_binned_ell(rand_graph.offsets, rand_graph.neighbors)
+    got = np.asarray(lay.apply(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # Round-trip permute identity + perm-space equivalence.
+    hp = lay.permute(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(lay.unpermute(lay.apply_perm(hp))), got)
+
+
+def test_binned_ell_padding_and_head(data_graph):
+    """Padding stays under the 1.4x width-step bound on Test/ (max
+    degree 168 forces the head chunk+fold path)."""
+    from gnnpe_tpu.ops.ell import build_binned_ell
+    lay = build_binned_ell(data_graph.offsets, data_graph.neighbors)
+    assert lay.num_head >= 1          # deg 168 > widest class 64
+    e = data_graph.offsets[-1]
+    assert lay.num_slots <= 1.45 * e, (lay.num_slots, e)
+    import jax.numpy as jnp
+    from gnnpe_tpu.ops.spmm import neighbor_sum_np
+    x = np.random.RandomState(1).rand(
+        data_graph.num_vertices, 4).astype(np.float32)
+    want = neighbor_sum_np(data_graph.offsets, data_graph.neighbors,
+                           x.astype(np.float64))
+    got = np.asarray(lay.apply(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_symmetric_aggregate_gradient(rand_graph):
+    """custom-vjp binned aggregation: value == A@x and grad == A@g
+    (symmetric adjacency), with no scatter in either direction."""
+    import jax
+    import jax.numpy as jnp
+    from gnnpe_tpu.ops.ell import build_binned_ell, symmetric_aggregate
+    from gnnpe_tpu.ops.spmm import neighbor_sum_np
+    lay = build_binned_ell(rand_graph.offsets, rand_graph.neighbors)
+    agg = symmetric_aggregate(lay)
+    x = np.random.RandomState(0).rand(
+        rand_graph.num_vertices, 8).astype(np.float32)
+    xp = lay.permute(jnp.asarray(x))
+    out = np.asarray(lay.unpermute(agg(xp)))
+    want = neighbor_sum_np(rand_graph.offsets, rand_graph.neighbors,
+                           x.astype(np.float64))
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+    # d/dx sum(A@x * c) = Aᵀ c = A c for symmetric A.
+    c = np.random.RandomState(1).rand(*x.shape).astype(np.float32)
+    cpj = lay.permute(jnp.asarray(c))
+    g = jax.grad(lambda hp: (agg(hp) * cpj).sum())(xp)
+    want_g = neighbor_sum_np(rand_graph.offsets, rand_graph.neighbors,
+                             c.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(lay.unpermute(g)), want_g,
+                               rtol=1e-4, atol=1e-4)
