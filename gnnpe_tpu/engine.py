@@ -60,12 +60,27 @@ class PEEngine:
         self.index = None
         self.sharded = None
 
-    def offline(self):
-        """Enumerate + dedup paths and shard them (ref main.cpp:75-120)."""
+    def offline(self, device: bool = False):
+        """Enumerate + dedup paths and shard them (ref main.cpp:75-120).
+        device=True runs the expansion hops on the accelerator
+        (paths/device_enumerate.py) — same paths, same order."""
         order = degree_sorted_nodes(self.graph)
-        self.paths, self.partition_rows = enumerate_paths(
-            self.graph, order, self.config.path_length, dedup=True,
-            membership=self.membership)
+        if device:
+            from gnnpe_tpu.paths.device_enumerate import \
+                enumerate_paths_device
+            from gnnpe_tpu.paths.enumerate import dedup_orientations
+            rows = enumerate_paths_device(self.graph, order,
+                                          self.config.path_length)
+            self.paths = rows[dedup_orientations(rows)]
+            owner = self.membership[self.paths[:, 0]]
+            nparts = int(self.membership.max()) + 1
+            self.partition_rows = [
+                np.nonzero(owner == pid)[0].astype(np.int64)
+                for pid in range(nparts)]
+        else:
+            self.paths, self.partition_rows = enumerate_paths(
+                self.graph, order, self.config.path_length, dedup=True,
+                membership=self.membership)
         return self
 
     def build_index(self, packed: bool = True, block_size: int = 512):

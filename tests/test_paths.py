@@ -70,3 +70,15 @@ def test_query_paths(query_graph):
     assert not any(tuple(r) in joined for r in rev.tolist()
                    if tuple(r) != tuple(r[::-1]) and
                    tuple(r) in joined and tuple(r[::-1]) in joined)
+
+
+def test_device_enumeration_exact_order(data_graph):
+    """Device (jit) enumerator emits the same paths in the same order
+    as the host enumerator, including under forced overflow splits."""
+    from gnnpe_tpu.graph.partition import degree_sorted_nodes
+    from gnnpe_tpu.paths.device_enumerate import enumerate_paths_device
+    from gnnpe_tpu.paths.enumerate import enumerate_paths_from
+    order = degree_sorted_nodes(data_graph)[:800]
+    want = enumerate_paths_from(data_graph, order, 3)
+    got = enumerate_paths_device(data_graph, order, 3, cap=1 << 15)
+    np.testing.assert_array_equal(got, want)
