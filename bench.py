@@ -133,13 +133,20 @@ def bench_aggregation(num_vertices=100_000, num_edges=800_000,
 
 
 def bench_query_latency():
-    """End-to-end Test/ query latency for both variants (stderr info)."""
+    """End-to-end Test/ offline + query latency, both variants (stderr).
+    Reference baselines (BASELINE.md): PE offline ~1.0 s enumeration +
+    ~30 s cold R-tree build; PE online warm ~3.1 s; PGE online 18 ms."""
     from gnnpe_tpu.config import PEConfig, PGEConfig
     from gnnpe_tpu.engine import PEEngine, PGEEngine
     from gnnpe_tpu.graph.csr import CSRGraph
     g = CSRGraph.from_graph_file("/root/reference/Test/data_graph.graph")
     q = CSRGraph.from_graph_file("/root/reference/Test/query_graph.graph")
+    t0 = time.perf_counter()
     pe = PEEngine(PEConfig.from_cli(), g).offline().build_index()
+    offline_ms = (time.perf_counter() - t0) * 1e3
+    print(f"[bench] PE offline+index {offline_ms:.0f} ms "
+          f"(ref ~1000 ms enumerate + ~30000 ms cold index)",
+          file=sys.stderr)
     pe_times = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -135,3 +135,38 @@ def test_sharded_pge_answer_parity(data_graph, query_graph, golden_meta):
     eng.attach_mesh(make_mesh(8, axes=("graph",), shape=(8,)))
     r = eng.online(query_graph, engine="python")
     assert r.answer_count == golden_meta["pge"]["answer_number"]
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_halo_aggregation_matches_dense(n):
+    """Vertex-partitioned halo-exchange aggregation == dense neighbor
+    sum, for arbitrary membership and feature values."""
+    from gnnpe_tpu.graph.partition import partition_graph
+    from gnnpe_tpu.ops.spmm import neighbor_sum_np
+    from gnnpe_tpu.parallel.halo import HaloPlan
+    from __graft_entry__ import _toy_graph
+    g = _toy_graph(num_vertices=96, num_labels=6, seed=7)
+    membership = partition_graph(g, n)
+    plan = HaloPlan.build(g.offsets, g.neighbors, membership, n)
+    mesh = make_mesh(n, axes=("graph",), shape=(n,))
+    agg = plan.make_aggregate(mesh)
+    x = np.random.RandomState(0).rand(g.num_vertices, 8).astype(np.float32)
+    shards = plan.shard_features(x)
+    out = np.asarray(agg(jnp.asarray(shards)))
+    got = plan.unshard_features(out)
+    want = neighbor_sum_np(g.offsets, g.neighbors, x.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_halo_volume_less_than_full_psum():
+    """The halo exchange must move less than the full-buffer psum for
+    a partition-friendly graph (the point of the layout)."""
+    from gnnpe_tpu.graph.partition import partition_graph
+    from gnnpe_tpu.parallel.halo import HaloPlan
+    from gnnpe_tpu.io.datasets import powerlaw_graph
+    g = powerlaw_graph(1000, 4000, 8, seed=5)
+    n = 4
+    membership = partition_graph(g, n)
+    plan = HaloPlan.build(g.offsets, g.neighbors, membership, n)
+    halo_rows = n * n * plan.halo_pad
+    assert halo_rows < n * g.num_vertices   # vs psum's n*V rows
