@@ -146,6 +146,63 @@ class PEEngine:
         return MatchResult(answer_count=int(count), candidates=cands,
                            timings_ms=t.times_ms, embeddings=emb)
 
+    def online_many(self, query_graphs, engine: str = "auto",
+                    preverify: int = 0) -> List[MatchResult]:
+        """Batched serving: all queries' plan rows stack into ONE
+        filter dispatch (query-vertex ids offset into a disjoint global
+        space), then candidates split per query for refinement.  The
+        reference has no multi-query story at all — its driver is one
+        process per query (GNN-PE/src/main.cpp:122-182)."""
+        from gnnpe_tpu.embed.pde import PathEmbeddings
+        assert self.data_pde is not None, "call offline() + build_index()"
+        tables, plans, bases = [], [], []
+        base = 0
+        for qg in query_graphs:
+            qv = gen_vde(qg, self.config.vde_dim)
+            q_paths, _ = enumerate_paths(
+                qg, np.arange(qg.num_vertices),
+                self.config.path_length, dedup=True)
+            q_pde, weight, _ = gen_query_pde_table(qv, q_paths)
+            plan = np.asarray(greedy_path_cover(q_paths, weight,
+                                                qg.num_vertices))
+            shifted = PathEmbeddings(
+                vids=q_pde.vids[plan] + base, labels=q_pde.labels[plan],
+                degrees=q_pde.degrees[plan], pde=q_pde.pde[plan],
+                pde_label=q_pde.pde_label[plan])
+            tables.append(shifted)
+            bases.append(base)
+            base += qg.num_vertices
+        big = PathEmbeddings(
+            vids=np.concatenate([t.vids for t in tables]),
+            labels=np.concatenate([t.labels for t in tables]),
+            degrees=np.concatenate([t.degrees for t in tables]),
+            pde=np.concatenate([t.pde for t in tables]),
+            pde_label=np.concatenate([t.pde_label for t in tables]))
+        plan_all = np.arange(big.num_paths)
+        if self.sharded is not None:
+            cands_all = self.sharded.search(big, plan_all, base)
+        elif self.index is not None:
+            cands_all = self.index.search(big, plan_all, base,
+                                          epsilon=self.config.epsilon)
+        else:
+            cands_all = pe_candidates(self.data_pde, big, plan_all, base,
+                                      epsilon=self.config.epsilon)
+        results = []
+        for qg, b in zip(query_graphs, bases):
+            cands = cands_all[b:b + qg.num_vertices]
+            if preverify:
+                from gnnpe_tpu.match.preverify import semijoin_prune
+                cands = semijoin_prune(self.graph, qg, cands,
+                                       iters=preverify)
+            t = StageTimer()
+            with t.stage("refine"):
+                count = refinement(self.graph, qg, cands,
+                                   self.config.max_answers, engine=engine)
+            results.append(MatchResult(answer_count=int(count),
+                                       candidates=cands,
+                                       timings_ms=t.times_ms))
+        return results
+
 
 class PGEEngine:
     """GNN-PGE variant: per-vertex path-group boxes (exact on Test/)."""
@@ -235,3 +292,55 @@ class PGEEngine:
         count, emb = res if return_embeddings else (res, None)
         return MatchResult(answer_count=int(count), candidates=cands,
                            timings_ms=t.times_ms, embeddings=emb)
+
+    def online_many(self, query_graphs, engine: str = "auto",
+                    preverify: int = 0) -> List[MatchResult]:
+        """Batched PGE serving: all queries' vertex tables stack into
+        one filter dispatch, candidates split per query (see
+        PEEngine.online_many)."""
+        assert self.group is not None, "call offline() first"
+        qls, qds, qgs, qlgs, sizes = [], [], [], [], []
+        for qg in query_graphs:
+            qv = gen_vde(qg, self.config.vde_dim)
+            q_paths, _ = enumerate_paths(
+                qg, np.arange(qg.num_vertices),
+                self.config.path_length, dedup=False)
+            if len(q_paths) == 0:
+                raise ValueError("query has a vertex with no path")
+            q_group, q_label_group = path_groups(
+                qv, q_paths[:, 0], q_paths, self.config.pde_dim)
+            qls.append(qv.labels)
+            qds.append(qv.degrees)
+            qgs.append(q_group)
+            qlgs.append(q_label_group)
+            sizes.append(qg.num_vertices)
+        ql = np.concatenate(qls)
+        qd = np.concatenate(qds)
+        qgrp = np.concatenate(qgs)
+        qlg = np.concatenate(qlgs)
+        ids = list(range(len(ql)))
+        if self.sharded is not None:
+            cands_all = self.sharded.search(ql, qd, qgrp, qlg, ids)
+        elif getattr(self, "index", None) is not None:
+            cands_all = self.index.search(ql, qd, qgrp, qlg, ids)
+        else:
+            cands_all = pge_candidates(
+                self.vertices.labels, self.vertices.degrees,
+                self.group, self.label_group, ql, qd, qgrp, qlg,
+                q_vertex_ids=ids)
+        results, b = [], 0
+        for qg, n in zip(query_graphs, sizes):
+            cands = cands_all[b:b + n]
+            b += n
+            if preverify:
+                from gnnpe_tpu.match.preverify import semijoin_prune
+                cands = semijoin_prune(self.graph, qg, cands,
+                                       iters=preverify)
+            t = StageTimer()
+            with t.stage("refine"):
+                count = refinement(self.graph, qg, cands,
+                                   self.config.max_answers, engine=engine)
+            results.append(MatchResult(answer_count=int(count),
+                                       candidates=cands,
+                                       timings_ms=t.times_ms))
+        return results

@@ -122,6 +122,37 @@ class CSRGraph:
         return self._nlf
 
     # ------------------------------------------------------------------
+    def label_adjacency(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-label adjacency (ref buildLabelOffset, graph.cpp:125-159):
+        returns (label_neighbors int32[2E], label_offsets int32[V, L+1])
+        where row v's neighbors are re-sorted by (label, id) and
+        ``label_neighbors[offsets[v] + label_offsets[v, l] :
+        offsets[v] + label_offsets[v, l+1]]`` are v's label-l neighbors.
+        Lazy: the dense offset table is O(V·L) — build on demand.
+        """
+        if getattr(self, "_label_adj", None) is None:
+            src = np.repeat(np.arange(self.num_vertices, dtype=np.int64),
+                            self.degrees)
+            nl = self.labels[self.neighbors].astype(np.int64)
+            order = np.lexsort((self.neighbors, nl, src))
+            label_neighbors = self.neighbors[order]
+            counts = np.bincount(
+                src * self.labels_count + nl,
+                minlength=self.num_vertices * self.labels_count
+            ).reshape(self.num_vertices, self.labels_count)
+            label_offsets = np.concatenate(
+                [np.zeros((self.num_vertices, 1), np.int64),
+                 np.cumsum(counts, axis=1)], axis=1).astype(np.int32)
+            self._label_adj = (label_neighbors, label_offsets)
+        return self._label_adj
+
+    def neighbors_with_label(self, v: int, label: int) -> np.ndarray:
+        """v's neighbors carrying ``label`` (sorted ascending)."""
+        ln, lo = self.label_adjacency()
+        base = self.offsets[v]
+        return ln[base + lo[v, label]: base + lo[v, label + 1]]
+
+    # ------------------------------------------------------------------
     def k_core(self) -> np.ndarray:
         """Core number per vertex (ref GraphOperations::getKCore,
         libsrc/utility/graphoperations.cpp:5-72), via iterative peeling."""

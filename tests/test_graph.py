@@ -107,3 +107,21 @@ def test_kcore_small():
                             np.zeros(4, dtype=np.int64))
     core = g.k_core()
     assert list(core) == [2, 2, 2, 1]
+
+
+def test_label_adjacency(data_graph):
+    """Per-label adjacency slices == filtered neighbor lists
+    (ref buildLabelOffset semantics, graph.cpp:125-159)."""
+    g = data_graph
+    rng = np.random.RandomState(0)
+    for v in rng.randint(0, g.num_vertices, 25):
+        nbrs = g.vertex_neighbors(v)
+        for lab in np.unique(g.labels[nbrs]):
+            got = g.neighbors_with_label(int(v), int(lab))
+            want = np.sort(nbrs[g.labels[nbrs] == lab])
+            np.testing.assert_array_equal(got, want)
+        # a label absent from the row yields an empty slice
+        absent = [l for l in range(g.labels_count)
+                  if l not in set(g.labels[nbrs].tolist())]
+        if absent:
+            assert len(g.neighbors_with_label(int(v), absent[0])) == 0

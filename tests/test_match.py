@@ -139,3 +139,21 @@ def test_preverify_shrinks_and_preserves_answers(pe_engine, pge_engine,
 
     r_pge = pge_engine.online(query_graph, engine="python", preverify=3)
     assert r_pge.answer_count == golden_meta["pge"]["answer_number"]
+
+
+def test_online_many_matches_single(pe_engine, pge_engine, data_graph,
+                                    query_graph, golden_meta):
+    """Batched serving == per-query results (one filter dispatch)."""
+    from gnnpe_tpu.io.datasets import sample_query
+    q2 = sample_query(data_graph, 5, tree=True, seed=11)
+    rs = pe_engine.online_many([query_graph, q2], engine="python")
+    assert rs[0].answer_count == golden_meta["pe"]["answer_number"]
+    single = pe_engine.online(q2, engine="python")
+    assert rs[1].answer_count == single.answer_count
+    for a, b in zip(rs[1].candidates, single.candidates):
+        np.testing.assert_array_equal(a, b)
+
+    rp = pge_engine.online_many([query_graph, q2], engine="python")
+    assert rp[0].answer_count == golden_meta["pge"]["answer_number"]
+    assert rp[1].answer_count == pge_engine.online(
+        q2, engine="python").answer_count
