@@ -162,7 +162,9 @@ def test_binned_ell_padding_and_head(data_graph):
     lay = build_binned_ell(data_graph.offsets, data_graph.neighbors)
     assert lay.num_head >= 1          # deg 168 > widest class 64
     e = data_graph.offsets[-1]
-    assert lay.num_slots <= 1.45 * e, (lay.num_slots, e)
+    # Bound: width-class step (1.4x) + the min-width floor (deg<4 rows
+    # pad to 4; Test/ has many degree-1..3 vertices).
+    assert lay.num_slots <= 1.6 * e, (lay.num_slots, e)
     import jax.numpy as jnp
     from gnnpe_tpu.ops.spmm import neighbor_sum_np
     x = np.random.RandomState(1).rand(
