@@ -107,7 +107,18 @@ def main(argv=None) -> int:
         if args.mode == "offline":
             print(f"{engine.paths.shape[0]} paths enumerated")
             return 0
-        engine.build_index()
+        from gnnpe_tpu.embed.pde import gen_pde
+        from gnnpe_tpu.embed.vde import gen_vde
+        from gnnpe_tpu.index.packed import (PackedDominanceIndex,
+                                            load_index, save_index)
+        idx = load_index(store, "index", fp, PackedDominanceIndex)
+        if idx is not None and args.mode == "online":
+            engine.vertices = gen_vde(graph, config.vde_dim)
+            engine.data_pde = gen_pde(engine.vertices, engine.paths)
+            engine.index = idx
+        else:
+            engine.build_index()
+            save_index(store, "index", fp, engine.index)
     else:
         engine = PGEEngine(config, graph, membership)
         cached = store.load("groups", fp)

@@ -239,3 +239,32 @@ class PGEPackedIndex:
                   (self.group[rows, 1, :] >= q_group[j, 0, :]).all(-1))
             out.append(np.sort(self.order[rows[ok]]).astype(np.int64))
         return out
+
+
+def _dataclass_arrays(obj) -> dict:
+    import dataclasses
+    out = {}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        out[f.name] = (np.asarray(v) if isinstance(v, np.ndarray)
+                       else np.array(v))
+    return out
+
+
+def save_index(store, stage: str, fp: str, index) -> str:
+    """Persist a packed index's arrays (the reference's index.dat
+    resume, custom.h:218-234 — but config-fingerprinted so a stale
+    index can never be silently reused)."""
+    return store.save(stage, fp, **_dataclass_arrays(index))
+
+
+def load_index(store, stage: str, fp: str, cls):
+    arrays = store.load(stage, fp)
+    if arrays is None:
+        return None
+    import dataclasses
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        v = arrays[f.name]
+        kwargs[f.name] = (v if v.ndim else v.item())
+    return cls(**kwargs)

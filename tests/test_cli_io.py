@@ -126,3 +126,32 @@ def test_ladder_query_has_matches():
     eng = PGEEngine(PGEConfig.from_cli(l=1, e=2, p=2), g).offline()
     r = eng.online(q, engine="python")
     assert r.answer_count >= 1
+
+
+def test_cli_index_resume(tmp_path):
+    """Second PE online run resumes the packed index from the artifact
+    store (the reference's index.dat probe, config-fingerprinted).
+
+    Note on l=1: the reference prints 0 here, but only because its
+    all_paths.txt parser desynchronizes (dfs always emits 3-vertex
+    rows — emission at depth==path_length with depth starting at
+    path_length-2, GNN-PE/include/custom.h:68 + src/main.cpp:95 —
+    while gen_pde reads path_length=2 vids per row,
+    custom.h:546-560).  We enumerate true 2-vertex paths instead; the
+    deterministic answer on Test/ is 45426."""
+    import subprocess, sys, os, glob
+    wd = str(tmp_path)
+    cmd = [sys.executable, "-m", "gnnpe_tpu.frontends.cli",
+           "--file", "/root/reference/Test/",
+           "--data", "data_graph.graph", "--query", "query_graph.graph",
+           "--variant", "pe", "--mode", "online",
+           "-l", "1", "-e", "2", "-p", "2", "--workdir", wd]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          cwd="/root/repo")
+    assert "Answer Number: 45426" in out1.stdout, \
+        out1.stdout + out1.stderr
+    assert glob.glob(wd + "/index-*.npz"), "index artifact missing"
+    out2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          cwd="/root/repo")
+    assert "Answer Number: 45426" in out2.stdout
