@@ -110,7 +110,9 @@ class PEEngine:
     def online(self, query_graph: CSRGraph, engine: str = "auto",
                return_embeddings: bool = False,
                union: str = "host", preverify: int = 0) -> MatchResult:
-        assert self.data_pde is not None, "call offline() + build_index()"
+        assert (self.data_pde is not None or self.index is not None
+                or self.sharded is not None), \
+            "call offline() + build_index() (or load a persisted index)"
         t = StageTimer()
         with t.stage("query_plan"):
             q_vertices = gen_vde(query_graph, self.config.vde_dim)
@@ -154,8 +156,10 @@ class PEEngine:
         reference has no multi-query story at all — its driver is one
         process per query (GNN-PE/src/main.cpp:122-182)."""
         from gnnpe_tpu.embed.pde import PathEmbeddings
-        assert self.data_pde is not None, "call offline() + build_index()"
-        tables, plans, bases = [], [], []
+        assert (self.data_pde is not None or self.index is not None
+                or self.sharded is not None), \
+            "call offline() + build_index() (or load a persisted index)"
+        tables, bases = [], []
         base = 0
         for qg in query_graphs:
             qv = gen_vde(qg, self.config.vde_dim)
@@ -185,8 +189,18 @@ class PEEngine:
             cands_all = self.index.search(big, plan_all, base,
                                           epsilon=self.config.epsilon)
         else:
-            cands_all = pe_candidates(self.data_pde, big, plan_all, base,
-                                      epsilon=self.config.epsilon)
+            # Flat fallback: chunk plan rows so the bool[Q, P] pair
+            # mask stays bounded regardless of batch size.
+            cands_all = [np.zeros(0, dtype=np.int64)
+                         for _ in range(base)]
+            step = max(1, 64)
+            for lo in range(0, big.num_paths, step):
+                part = pe_candidates(
+                    self.data_pde, big,
+                    plan_all[lo:lo + step], base,
+                    epsilon=self.config.epsilon)
+                cands_all = [
+                    np.union1d(a, b) for a, b in zip(cands_all, part)]
         results = []
         for qg, b in zip(query_graphs, bases):
             cands = cands_all[b:b + qg.num_vertices]

@@ -107,30 +107,39 @@ def main(argv=None) -> int:
         if args.mode == "offline":
             print(f"{engine.paths.shape[0]} paths enumerated")
             return 0
-        from gnnpe_tpu.embed.pde import gen_pde
-        from gnnpe_tpu.embed.vde import gen_vde
         from gnnpe_tpu.index.packed import (PackedDominanceIndex,
                                             load_index, save_index)
         idx = load_index(store, "index", fp, PackedDominanceIndex)
         if idx is not None and args.mode == "online":
-            engine.vertices = gen_vde(graph, config.vde_dim)
-            engine.data_pde = gen_pde(engine.vertices, engine.paths)
+            # True resume: the index alone serves the search; the
+            # [P, L*D] PDE table is not rebuilt.
             engine.index = idx
         else:
             engine.build_index()
             save_index(store, "index", fp, engine.index)
     else:
         engine = PGEEngine(config, graph, membership)
+        from gnnpe_tpu.index.packed import (PGEPackedIndex, load_index,
+                                            save_index)
         cached = store.load("groups", fp)
+        idx = load_index(store, "pge-index", fp, PGEPackedIndex)
         if cached is not None and args.mode == "online":
             from gnnpe_tpu.embed.vde import gen_vde
             engine.vertices = gen_vde(graph, config.vde_dim)
             engine.group = cached["group"]
             engine.label_group = cached["label_group"]
+            if idx is not None:
+                engine.index = idx
+            else:
+                engine.index = PGEPackedIndex.build(
+                    engine.vertices.labels, engine.vertices.degrees,
+                    engine.group, engine.label_group)
+                save_index(store, "pge-index", fp, engine.index)
         else:
             engine.offline()
             store.save("groups", fp, group=engine.group,
                        label_group=engine.label_group)
+            save_index(store, "pge-index", fp, engine.index)
         if args.mode == "offline":
             print("path groups built")
             return 0

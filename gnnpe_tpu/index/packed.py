@@ -265,6 +265,10 @@ def load_index(store, stage: str, fp: str, cls):
     import dataclasses
     kwargs = {}
     for f in dataclasses.fields(cls):
+        if f.name not in arrays:
+            # Schema drift (artifact from an older code version):
+            # treat as a miss so the caller rebuilds and overwrites.
+            return None
         v = arrays[f.name]
         kwargs[f.name] = (v if v.ndim else v.item())
     return cls(**kwargs)

@@ -8,10 +8,24 @@ transfer (SURVEY.md §7.3 "device-side pre-verification").
 
 Semantics (arc consistency over the candidate relation): candidate v
 for query vertex q survives iff for EVERY query edge (q, q') some
-candidate of q' is adjacent to v in the data graph.  Any vertex that
-participates in a counted match trivially satisfies this, so pruning
-never changes the final answer — for either the exact (PGE) or the
-reference-parity (PE) semantics.
+candidate of q' is adjacent to v in the data graph.  Every vertex of a
+true monomorphism survives, so the pruned sets still contain every
+real match.
+
+Answer-count contract — mode-dependent:
+  * EXACT semantics (PGE, or any candidate sets that are supersets of
+    the true match images): the count is UNCHANGED.  Refinement
+    constrains only the start vertex's candidate set and verifies all
+    edges itself (custom.h:757-797), so any superset-of-matches
+    candidate sets yield the exact count.
+  * PE PARITY semantics: the reference's candidate sets are NOT
+    match-supersets (orientation dedup drops real matches,
+    SURVEY.md §0.3), and its answer depends on which vertex the GQL
+    order picks as start (min |candidates|) and on that set's content.
+    Pruning changes both, so the count can move — toward the true
+    count, since pruning only removes match-impossible vertices.
+    Do not enable preverify when bit-parity with shipped GNN-PE
+    output is required.
 
 TPU form: stack the candidate indicator vectors into C ∈ {0,1}^[V, Q];
 one neighbor aggregation (the same SpMM as the embedding stage) gives
@@ -23,11 +37,30 @@ fixed iteration budget; pruning is monotone so any prefix is sound).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import numpy as np
 
 from gnnpe_tpu.graph.csr import CSRGraph
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_step(num_vertices: int):
+    """One pruning round as a shape-cached jit (re-tracing per call
+    would pay the compile round-trip every query)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(cj, srcj, dstj, needj):
+        gathered = jnp.take(cj, srcj, axis=0)
+        reach = jax.ops.segment_sum(
+            gathered, dstj, num_segments=num_vertices) > 0.0
+        ok = (reach[:, None, :] | ~needj[None]).all(-1)
+        return cj * ok.astype(cj.dtype)
+
+    return step
 
 
 def semijoin_prune(data_graph: CSRGraph, query_graph: CSRGraph,
@@ -57,25 +90,24 @@ def semijoin_prune(data_graph: CSRGraph, query_graph: CSRGraph,
     needj = jnp.asarray(need)
 
     if ell is not None:
-        agg = ell.apply
+        needj_l = jnp.asarray(need)
+
+        @jax.jit
+        def step_ell(cj):
+            reach = ell.apply(cj) > 0.0
+            ok = (reach[:, None, :] | ~needj_l[None]).all(-1)
+            return cj * ok.astype(cj.dtype)
+
+        run = step_ell
     else:
         src, dst = data_graph.coo()
         srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
-
-        def agg(h):
-            return jax.ops.segment_sum(jnp.take(h, srcj, axis=0), dstj,
-                                       num_segments=v)
-
-    @jax.jit
-    def step(cj):
-        reach = agg(cj) > 0.0                      # [V, Q] neighbor hit
-        # ok[v, q] = ∀ q' needed: reach[v, q']
-        ok = (reach[:, None, :] | ~needj[None]).all(-1)   # [V, Q]
-        return cj * ok.astype(cj.dtype)
+        cached = _jit_step(v)
+        run = lambda cj: cached(cj, srcj, dstj, needj)
 
     cj = jnp.asarray(c)
     for _ in range(iters):
-        nxt = step(cj)
+        nxt = run(cj)
         if bool((nxt == cj).all()):
             cj = nxt
             break

@@ -130,9 +130,11 @@ def _valid_candidates(data_graph, depth, order, pivot, bn, embedding,
     existence."""
     u = int(order[depth])
     p = int(embedding[pivot[depth]])
-    nbrs = data_graph.vertex_neighbors(p).astype(np.int64)
-    ok = ((~visited[nbrs]) & (d_labels[nbrs] == q_labels[u]) &
-          (d_degrees[nbrs] >= q_degrees[u]))
+    # Per-label adjacency slice (ref buildLabelOffset semantics,
+    # graph.cpp:125-159): only pivot's neighbors carrying u's label.
+    nbrs = data_graph.neighbors_with_label(
+        p, int(q_labels[u])).astype(np.int64)
+    ok = (~visited[nbrs]) & (d_degrees[nbrs] >= q_degrees[u])
     cand = nbrs[ok]
     for u_nbr in bn[depth]:
         if not len(cand):

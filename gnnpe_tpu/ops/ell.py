@@ -132,8 +132,10 @@ def ell_neighbor_sum(layout: HierarchicalEll, x):
 #     result concatenates in place, no scatter and no inverse permute
 #     inside the layer loop;
 #   * each class packs vertices whose (residual) degree fits its
-#     width, with widths in ~1.4x steps, bounding padding by 1.4x
-#     (measured ~1.15x typical vs 2.41x for uniform width-8);
+#     width; padding is bounded by the class-step ratio plus the
+#     min-width floor (degree-d rows pad to the smallest class >= d,
+#     so low-degree graphs pay more: 1.37x on the power-law bench,
+#     1.5x on Test/ — still far below uniform width-8's 2.4-4.4x);
 #   * degrees above the widest class are chunked and folded through a
 #     small recursive second level (only the power-law head pays it).
 
