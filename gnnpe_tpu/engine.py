@@ -201,21 +201,38 @@ class PEEngine:
                     epsilon=self.config.epsilon)
                 cands_all = [
                     np.union1d(a, b) for a, b in zip(cands_all, part)]
-        results = []
-        for qg, b in zip(query_graphs, bases):
-            cands = cands_all[b:b + qg.num_vertices]
-            if preverify:
-                from gnnpe_tpu.match.preverify import semijoin_prune
-                cands = semijoin_prune(self.graph, qg, cands,
-                                       iters=preverify)
-            t = StageTimer()
-            with t.stage("refine"):
-                count = refinement(self.graph, qg, cands,
-                                   self.config.max_answers, engine=engine)
-            results.append(MatchResult(answer_count=int(count),
-                                       candidates=cands,
-                                       timings_ms=t.times_ms))
-        return results
+        per_query = [cands_all[b:b + qg.num_vertices]
+                     for qg, b in zip(query_graphs, bases)]
+        return _refine_batch(self.graph, query_graphs, per_query,
+                             self.config.max_answers, engine, preverify)
+
+
+def _refine_batch(graph, query_graphs, per_query_cands, max_answers,
+                  engine, preverify) -> List[MatchResult]:
+    """Shared tail of online_many: optional pruning, then refinement —
+    threaded across queries when the native engine is in play (the
+    ctypes call releases the GIL, so this is the reference's OpenMP
+    parallel region in serving form, GNN-PE/src/main.cpp:160-164)."""
+    if preverify:
+        from gnnpe_tpu.match.preverify import semijoin_prune
+        per_query_cands = [
+            semijoin_prune(graph, qg, c, iters=preverify)
+            for qg, c in zip(query_graphs, per_query_cands)]
+
+    def one(qg, cands):
+        t = StageTimer()
+        with t.stage("refine"):
+            count = refinement(graph, qg, cands, max_answers,
+                               engine=engine)
+        return MatchResult(answer_count=int(count), candidates=cands,
+                           timings_ms=t.times_ms)
+
+    if engine != "python" and len(query_graphs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, len(query_graphs))) \
+                as pool:
+            return list(pool.map(one, query_graphs, per_query_cands))
+    return [one(qg, c) for qg, c in zip(query_graphs, per_query_cands)]
 
 
 class PGEEngine:
@@ -342,19 +359,9 @@ class PGEEngine:
                 self.vertices.labels, self.vertices.degrees,
                 self.group, self.label_group, ql, qd, qgrp, qlg,
                 q_vertex_ids=ids)
-        results, b = [], 0
-        for qg, n in zip(query_graphs, sizes):
-            cands = cands_all[b:b + n]
+        per_query, b = [], 0
+        for n in sizes:
+            per_query.append(cands_all[b:b + n])
             b += n
-            if preverify:
-                from gnnpe_tpu.match.preverify import semijoin_prune
-                cands = semijoin_prune(self.graph, qg, cands,
-                                       iters=preverify)
-            t = StageTimer()
-            with t.stage("refine"):
-                count = refinement(self.graph, qg, cands,
-                                   self.config.max_answers, engine=engine)
-            results.append(MatchResult(answer_count=int(count),
-                                       candidates=cands,
-                                       timings_ms=t.times_ms))
-        return results
+        return _refine_batch(self.graph, query_graphs, per_query,
+                             self.config.max_answers, engine, preverify)
