@@ -165,3 +165,34 @@ def test_online_many_matches_single(pe_engine, pge_engine, data_graph,
     assert rp[0].answer_count == golden_meta["pge"]["answer_number"]
     assert rp[1].answer_count == pge_engine.online(
         q2, engine="python").answer_count
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pge_matches_live_vf2_oracle(seed):
+    """Independent exactness oracle: networkx VF2 monomorphism count
+    on small random graphs == PGE answer (SURVEY.md §4 test pyramid
+    item (d), as a live check rather than a stored constant)."""
+    import networkx as nx
+    from gnnpe_tpu.config import PGEConfig
+    from gnnpe_tpu.engine import PGEEngine
+    from gnnpe_tpu.io.datasets import powerlaw_graph, sample_query
+    g = powerlaw_graph(150, 500, 5, seed=seed)
+    q = sample_query(g, 4, tree=True, seed=seed + 10)
+
+    G = nx.Graph()
+    for v in range(g.num_vertices):
+        G.add_node(v, label=int(g.labels[v]))
+    src, dst = g.coo()
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    Q = nx.Graph()
+    for v in range(q.num_vertices):
+        Q.add_node(v, label=int(q.labels[v]))
+    qsrc, qdst = q.coo()
+    Q.add_edges_from(zip(qsrc.tolist(), qdst.tolist()))
+    gm = nx.algorithms.isomorphism.GraphMatcher(
+        G, Q, node_match=lambda a, b: a["label"] == b["label"])
+    want = sum(1 for _ in gm.subgraph_monomorphisms_iter())
+
+    eng = PGEEngine(PGEConfig.from_cli(l=1, e=2, p=2), g).offline()
+    got = eng.online(q, engine="python").answer_count
+    assert got == want, (got, want)
