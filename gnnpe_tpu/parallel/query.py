@@ -103,17 +103,43 @@ class ShardedPESearch:
                exact_f64: bool = True) -> List[np.ndarray]:
         import jax.numpy as jnp
         rows = np.asarray(plan_rows)
-        ql = jnp.asarray(query_pde.labels[rows])
-        qd = jnp.asarray(query_pde.degrees[rows])
-        qp = jnp.asarray(query_pde.pde[rows].astype(np.float32))
+        # Bucket the query-row count to the next power of two so the
+        # jit compiles once per bucket, not once per distinct query
+        # shape (compiles cost seconds through a remote backend).
+        q = len(rows)
+        qb = 1 << max(0, (q - 1).bit_length())
+        pad = qb - q
+        ql_np = np.concatenate(
+            [query_pde.labels[rows],
+             np.full((pad,) + query_pde.labels.shape[1:], -1,
+                     query_pde.labels.dtype)]) if pad else \
+            query_pde.labels[rows]
+        qd_np = np.concatenate(
+            [query_pde.degrees[rows],
+             np.zeros((pad,) + query_pde.degrees.shape[1:],
+                      query_pde.degrees.dtype)]) if pad else \
+            query_pde.degrees[rows]
+        qp_np = np.concatenate(
+            [query_pde.pde[rows],
+             np.zeros((pad,) + query_pde.pde.shape[1:],
+                      query_pde.pde.dtype)]) if pad else \
+            query_pde.pde[rows]
+        ql = jnp.asarray(ql_np)
+        qd = jnp.asarray(qd_np)
+        qp = jnp.asarray(qp_np.astype(np.float32))
         if union == "device":
+            vpad = np.concatenate(
+                [query_pde.vids[rows],
+                 np.zeros((pad,) + query_pde.vids.shape[1:],
+                          query_pde.vids.dtype)]) if pad else \
+                query_pde.vids[rows]
             return self._search_device_union(
-                ql, qd, qp, query_pde.vids[rows], num_query_vertices)
+                ql, qd, qp, vpad, num_query_vertices, real_q=q)
         if self._mask_fn is None:
             self._mask_fn = self._build_mask_fn()
         mask = np.asarray(self._mask_fn(
             self.d_labels, self.d_degrees, self.d_pde, ql, qd, qp))
-        mask = mask[:, :self.num_paths]
+        mask = mask[:q, :self.num_paths]
         if exact_f64:
             mask = self._trim_to_f64(mask, query_pde, rows)
         return extract_candidates(mask, self._host.vids,
@@ -163,7 +189,11 @@ class ShardedPESearch:
         return jax.jit(run)
 
     def _search_device_union(self, ql, qd, qp, q_vids,
-                             num_query_vertices: int) -> List[np.ndarray]:
+                             num_query_vertices: int,
+                             real_q: Optional[int] = None
+                             ) -> List[np.ndarray]:
+        # Padded query rows (label -1) match nothing, so they scatter
+        # nothing; real_q is only for documentation.
         import jax.numpy as jnp
         l = q_vids.shape[1]
         key = (l, num_query_vertices)
@@ -244,6 +274,22 @@ class ShardedPGESearch:
         if self._mask_fn is None:
             self._mask_fn = self._build_mask_fn()
         f32 = np.float32
+        # Power-of-two query bucketing (one compile per bucket).
+        q = len(q_labels)
+        qb = 1 << max(0, (q - 1).bit_length())
+        pad = qb - q
+        if pad:
+            q_labels = np.concatenate(
+                [q_labels, np.full(pad, -1, q_labels.dtype)])
+            q_degrees = np.concatenate(
+                [q_degrees, np.zeros(pad, q_degrees.dtype)])
+            q_group = np.concatenate(
+                [q_group, np.zeros((pad,) + q_group.shape[1:],
+                                   q_group.dtype)])
+            q_label_group = np.concatenate(
+                [q_label_group,
+                 np.zeros((pad,) + q_label_group.shape[1:],
+                          q_label_group.dtype)])
         mask = np.asarray(self._mask_fn(
             self.d_labels, self.d_degrees, self.d_glo, self.d_ghi,
             self.d_llo, self.d_lhi,
@@ -251,7 +297,7 @@ class ShardedPGESearch:
             jnp.asarray(q_group[:, 0, :].astype(f32)),
             jnp.asarray(q_label_group[:, 0, :].astype(f32)),
             jnp.asarray(q_label_group[:, 1, :].astype(f32))))
-        mask = mask[:, :self.num_vertices]
+        mask = mask[:q, :self.num_vertices]
         out: List[np.ndarray] = []
         for j, _ in enumerate(q_vertex_ids):
             hit = np.nonzero(mask[j])[0]
