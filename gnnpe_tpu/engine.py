@@ -47,9 +47,16 @@ class PEEngine:
     """GNN-PE variant: per-path index entries, position-wise filtering."""
 
     def __init__(self, config: PEConfig, data_graph: CSRGraph,
-                 membership: Optional[np.ndarray] = None):
+                 membership: Optional[np.ndarray] = None,
+                 embedder=None):
+        """embedder: callable(graph) -> VertexEmbeddings; defaults to
+        the reference's fixed label-seeded VDE.  A trained non-negative
+        PathGNN (models/embedder.py) drops in here — its monotone
+        layers preserve the dominance invariant, so exactness holds."""
         self.config = config
         self.graph = data_graph
+        self.embedder = embedder or (
+            lambda g: gen_vde(g, config.vde_dim))
         self.membership = (membership if membership is not None
                            else partition_graph(data_graph,
                                                 config.partition_num))
@@ -87,7 +94,7 @@ class PEEngine:
         """Embed all paths (ref gen_vde+gen_pde, main.cpp:124-126) and
         build the packed dominance index (the R*-tree replacement; the
         flat filter remains the semantic ground truth and the fallback)."""
-        self.vertices = gen_vde(self.graph, self.config.vde_dim)
+        self.vertices = self.embedder(self.graph)
         self.data_pde = gen_pde(self.vertices, self.paths)
         if packed:
             from gnnpe_tpu.index.packed import PackedDominanceIndex
@@ -115,7 +122,7 @@ class PEEngine:
             "call offline() + build_index() (or load a persisted index)"
         t = StageTimer()
         with t.stage("query_plan"):
-            q_vertices = gen_vde(query_graph, self.config.vde_dim)
+            q_vertices = self.embedder(query_graph)
             q_paths, _ = enumerate_paths(
                 query_graph, np.arange(query_graph.num_vertices),
                 self.config.path_length, dedup=True)
@@ -162,7 +169,7 @@ class PEEngine:
         tables, bases = [], []
         base = 0
         for qg in query_graphs:
-            qv = gen_vde(qg, self.config.vde_dim)
+            qv = self.embedder(qg)
             q_paths, _ = enumerate_paths(
                 qg, np.arange(qg.num_vertices),
                 self.config.path_length, dedup=True)
@@ -239,9 +246,12 @@ class PGEEngine:
     """GNN-PGE variant: per-vertex path-group boxes (exact on Test/)."""
 
     def __init__(self, config: PGEConfig, data_graph: CSRGraph,
-                 membership: Optional[np.ndarray] = None):
+                 membership: Optional[np.ndarray] = None,
+                 embedder=None):
         self.config = config
         self.graph = data_graph
+        self.embedder = embedder or (
+            lambda g: gen_vde(g, config.vde_dim))
         self.membership = (membership if membership is not None
                            else partition_graph(data_graph,
                                                 config.partition_num))
@@ -253,7 +263,7 @@ class PGEEngine:
     def offline(self, packed: bool = True):
         """VDE + per-vertex path groups (ref GNN-PGE/src/main.cpp:91-177)
         + packed vertex index."""
-        self.vertices = gen_vde(self.graph, self.config.vde_dim)
+        self.vertices = self.embedder(self.graph)
         order = degree_sorted_nodes(self.graph)
         paths, _ = enumerate_paths(self.graph, order,
                                    self.config.path_length, dedup=False)
@@ -284,7 +294,7 @@ class PGEEngine:
         assert self.group is not None, "call offline() first"
         t = StageTimer()
         with t.stage("query_plan"):
-            qv = gen_vde(query_graph, self.config.vde_dim)
+            qv = self.embedder(query_graph)
             q_paths, _ = enumerate_paths(
                 query_graph, np.arange(query_graph.num_vertices),
                 self.config.path_length, dedup=False)
@@ -332,7 +342,7 @@ class PGEEngine:
         assert self.group is not None, "call offline() first"
         qls, qds, qgs, qlgs, sizes = [], [], [], [], []
         for qg in query_graphs:
-            qv = gen_vde(qg, self.config.vde_dim)
+            qv = self.embedder(qg)
             q_paths, _ = enumerate_paths(
                 qg, np.arange(qg.num_vertices),
                 self.config.path_length, dedup=False)

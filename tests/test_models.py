@@ -128,3 +128,30 @@ def test_fit_binned_aggregation_matches_segment(toy):
     s_bin = fit(m2, toy, paths, aggregation="binned", **kw)
     np.testing.assert_allclose(s_seg.history, s_bin.history,
                                rtol=1e-3, atol=1e-5)
+
+
+def test_trained_embedder_serves_exactly(toy):
+    """Train a PathGNN, plug it into PGEEngine via model_embedder:
+    answers must equal the fixed-embedding pipeline (dominance holds
+    by the non-negative construction for ANY weights)."""
+    from gnnpe_tpu.config import PGEConfig
+    from gnnpe_tpu.engine import PGEEngine
+    from gnnpe_tpu.io.datasets import sample_query
+    from gnnpe_tpu.models.embedder import model_embedder
+    from gnnpe_tpu.models.train import fit
+
+    rng = np.random.RandomState(0)
+    paths = rng.randint(0, toy.num_vertices, (64, 2)).astype(np.int32)
+    model = PathGNN(dim=4, num_layers=1, labels_count=6,
+                    activation="softplus")
+    state = fit(model, toy, paths, num_steps=10, batch_size=32, seed=0)
+
+    q = sample_query(toy, 3, tree=True, seed=4)
+    fixed = PGEEngine(PGEConfig.from_cli(l=1, e=2, p=2), toy).offline()
+    want = fixed.online(q, engine="python").answer_count
+
+    trained = PGEEngine(PGEConfig.from_cli(l=1, e=4, p=2), toy,
+                        embedder=model_embedder(model, state.params)
+                        ).offline()
+    r = trained.online(q, engine="python")
+    assert r.answer_count == want >= 1, (r.answer_count, want)
