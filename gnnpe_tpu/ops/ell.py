@@ -147,11 +147,22 @@ DEFAULT_WIDTHS = (4, 8, 16, 32, 64)
 
 @dataclass
 class BinnedEll:
-    """Permutation-fused binned layout.
+    """Permutation-fused binned layout (+ optional MXU hub path).
 
     apply_perm(h_perm) aggregates in the permuted vertex space:
     h_perm[i] = x[perm[i]]; returns out_perm with out_perm[i] =
     Σ_{u ∈ N(perm[i])} x[u].  apply(x) adds the boundary permutes.
+
+    Hub path: the v5e gather unit is row-count-bound (~5.5e8 rows/s at
+    D=128, BASELINE.md calibration), so on power-law graphs the few
+    hundred highest-occurrence *sources* — which account for ~30% of
+    all arcs — are pulled out of the gather tables entirely and their
+    contribution computed on the MXU as ``B @ x[hubs]`` where
+    ``B[i, j]`` counts hub j in N(perm[i]) (int8/int16, converted to
+    bf16 in-register).  Exactness: features are split into a bf16
+    hi/lo pair (two matmuls, f32 accumulation), keeping relative error
+    ~1e-7 — well inside the engine's f32-epsilon dominance tolerance.
+    Removing hubs also shrinks residual degrees, cutting ELL padding.
     """
     perm: np.ndarray            # int64[V]: new row i holds vertex perm[i]
     rank: np.ndarray            # int64[V]: inverse (rank[v] = row of v)
@@ -160,6 +171,29 @@ class BinnedEll:
     num_head: int               # head vertices (first rows of output)
     num_vertices: int
     num_slots: int
+    hub_rows: np.ndarray = None     # int32[H]: permuted rows of hubs
+    hub_counts: np.ndarray = None   # int8/int16[V, H] multiplicity B
+    hub_precision: str = "hi_lo"    # "hi_lo" (≈f32) | "bf16" | "f32"
+
+    def _hub_part(self, h_perm):
+        import jax
+        import jax.numpy as jnp
+        xh = jnp.take(h_perm, jnp.asarray(self.hub_rows), axis=0)
+        B = jnp.asarray(self.hub_counts)
+        dims = (((1,), (0,)), ((), ()))
+        if self.hub_precision == "f32":
+            return jax.lax.dot_general(
+                B.astype(jnp.float32), xh.astype(jnp.float32), dims,
+                preferred_element_type=jnp.float32)
+        Bb = B.astype(jnp.bfloat16)   # counts ≤ 256 are exact in bf16
+        hi = xh.astype(jnp.bfloat16)
+        out = jax.lax.dot_general(Bb, hi, dims,
+                                  preferred_element_type=jnp.float32)
+        if self.hub_precision == "hi_lo" and h_perm.dtype != jnp.bfloat16:
+            lo = (xh - hi.astype(xh.dtype)).astype(jnp.bfloat16)
+            out = out + jax.lax.dot_general(
+                Bb, lo, dims, preferred_element_type=jnp.float32)
+        return out.astype(h_perm.dtype)
 
     def apply_perm(self, h_perm):
         import jax.numpy as jnp
@@ -181,7 +215,11 @@ class BinnedEll:
                 *tblj.shape, h_perm.shape[-1])
             parts.append(
                 jnp.where((tblj >= 0)[..., None], g, 0.0).sum(1))
-        return jnp.concatenate(parts, axis=0) if parts else h_perm[:0]
+        out = jnp.concatenate(parts, axis=0) if parts else \
+            jnp.zeros_like(h_perm)
+        if self.hub_rows is not None and len(self.hub_rows):
+            out = out + self._hub_part(h_perm)
+        return out
 
     def permute(self, x):
         import jax.numpy as jnp
@@ -196,11 +234,69 @@ class BinnedEll:
         return self.unpermute(self.apply_perm(self.permute(h)))
 
 
+def _select_hubs(num_v: int, neighbors: np.ndarray, feature_dim: int,
+                 max_hubs: int):
+    """Pick hub sources worth routing through the MXU.
+
+    Include vertex i (by occurrence count in ``neighbors``) while the
+    gather time its arcs would cost (~1.8 ns/row, v5e calibration)
+    exceeds the marginal cost of one more B column: V int8 bytes of
+    HBM traffic plus two bf16 [V,1]x[1,D] matmul slivers.
+    """
+    occ = np.bincount(neighbors, minlength=num_v).astype(np.int64)
+    col_cost_s = num_v / 819e9 + 4.0 * num_v * feature_dim / 197e12
+    thresh = max(4.0, col_cost_s / 1.8e-9)
+    order = np.argsort(-occ, kind="stable")
+    n = int((occ[order] > thresh).sum())
+    n = min(n, max_hubs, num_v)
+    return order[:n]
+
+
 def build_binned_ell(offsets: np.ndarray, neighbors: np.ndarray,
-                     widths: Tuple[int, ...] = DEFAULT_WIDTHS
-                     ) -> BinnedEll:
-    """Build the degree-binned relabeled layout (host, O(E log V))."""
+                     widths: Tuple[int, ...] = DEFAULT_WIDTHS,
+                     hub_matmul: bool = True,
+                     feature_dim_hint: int = 128,
+                     max_hubs: int = 2048,
+                     hub_precision: str = "hi_lo") -> BinnedEll:
+    """Build the degree-binned relabeled layout (host, O(E log V)).
+
+    With ``hub_matmul`` the top-occurrence sources are lifted out of
+    the gather tables into a dense count matrix contracted on the MXU
+    (see BinnedEll docstring); the ELL tables are then built over the
+    residual adjacency.  ``feature_dim_hint`` only tunes the hub-count
+    economics; any D works at apply time.
+    """
     num_v = len(offsets) - 1
+    offsets = np.asarray(offsets, dtype=np.int64)
+    neighbors = np.asarray(neighbors)
+
+    hub_rows = hub_counts = None
+    if hub_matmul and num_v and len(neighbors):
+        hubs = _select_hubs(num_v, neighbors, feature_dim_hint, max_hubs)
+        if len(hubs):
+            hub_id = np.full(num_v, -1, dtype=np.int64)
+            hub_id[hubs] = np.arange(len(hubs))
+            arc_dst = np.repeat(np.arange(num_v),
+                                np.diff(offsets).astype(np.int64))
+            j = hub_id[neighbors]
+            is_hub = j >= 0
+            B = np.zeros((num_v, len(hubs)), dtype=np.int64)
+            np.add.at(B, (arc_dst[is_hub], j[is_hub]), 1)
+            cmax = int(B.max(initial=0))
+            # bf16 holds integers exactly only up to 256; past that the
+            # conversion in apply would silently round multiplicities.
+            if cmax > 256:
+                hub_precision = "f32"
+            hub_counts = B.astype(
+                np.int8 if cmax <= 127 else np.int16)
+            # Residual adjacency: drop hub occurrences.
+            keep = ~is_hub
+            neighbors = neighbors[keep]
+            rdeg = np.bincount(arc_dst[keep],
+                               minlength=num_v).astype(np.int64)
+            offsets = np.concatenate([[0], np.cumsum(rdeg)])
+            hub_vertices = hubs
+
     deg = np.diff(offsets).astype(np.int64)
     wmax = widths[-1]
     # Degree-descending stable order; rank = inverse permutation.
@@ -278,9 +374,14 @@ def build_binned_ell(offsets: np.ndarray, neighbors: np.ndarray,
         lo = hi
     assert lo == num_v, (lo, num_v)
 
+    if hub_counts is not None:
+        hub_counts = hub_counts[perm]           # rows in permuted space
+        hub_rows = rank[hub_vertices].astype(np.int32)
     return BinnedEll(perm=perm, rank=rank, class_tables=class_tables,
                      head_tables=head_tables, num_head=num_head,
-                     num_vertices=num_v, num_slots=int(slots))
+                     num_vertices=num_v, num_slots=int(slots),
+                     hub_rows=hub_rows, hub_counts=hub_counts,
+                     hub_precision=hub_precision)
 
 
 def symmetric_aggregate(layout: BinnedEll):
