@@ -1,8 +1,27 @@
-"""Pallas TPU SpMM: CSR neighbor aggregation ``out[v] = Σ_{u∈N(v)} x[u]``.
+"""RETIRED EXPERIMENT — Pallas per-row-DMA SpMM (kept for the record).
 
-Why a kernel: XLA's scatter (segment_sum) serializes on TPU — measured
-~6e7 edges/s on v5e vs ~3e8 rows/s for the gather alone.  This kernel
-streams dst-sorted arcs, issues **deeply pipelined single-row DMAs**
+Measured on v5e (round 1, D=128, 800k-arc power-law): **33 M edges/s**
+— 11x slower than the production binned-ELL layout (368 M, round 2)
+and 2x slower than XLA's segment_sum.  Root cause: each single-row
+gather costs one DMA descriptor (~30 ns overhead) while the XLA gather
+engine retires a row every ~1.9 ns; no amount of descriptor pipelining
+closes a 15x per-row gap.  The block-DMA alternative (gather K rows per
+descriptor via a packed D=256 layout) was measured in round 2 and is
+WORSE: XLA row gather at D=256 regresses to 130 M rows/s (vs 518 M at
+D=128), so wider rows lose before the kernel even starts.  Conclusion:
+on TPU the hardware gather engine is the only path to the row-rate
+bound; the right design is the scatter-free layout around it
+(gnnpe_tpu/ops/ell.py), not a hand-rolled gather.
+
+Original design notes below.  The kernel remains correct
+(tests/test_ops.py::test_pallas_spmm_interpret runs it in interpret
+mode) so the measurement stays reproducible.
+
+Pallas TPU SpMM: CSR neighbor aggregation ``out[v] = Σ_{u∈N(v)} x[u]``.
+
+Why a kernel was tried: XLA's scatter (segment_sum) serializes on TPU —
+measured ~6e7 edges/s on v5e vs ~5e8 rows/s for the gather alone.  This
+kernel streams dst-sorted arcs, issues deeply pipelined single-row DMAs
 from HBM for the x[src] gathers (the only irregular access), and
 accumulates each output row tile in VMEM, so the scatter costs nothing.
 

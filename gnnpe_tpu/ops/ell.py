@@ -139,10 +139,15 @@ def ell_neighbor_sum(layout: HierarchicalEll, x):
 #   * degrees above the widest class are chunked and folded through a
 #     small recursive second level (only the power-law head pays it).
 
-# Width classes: v5e sweep (PROGRESS: width_sweep) — finer classes cut
-# padding but pay per-op dispatch; (4,8,16,32,64) is the measured
-# optimum at D=128 (282 Medges/s vs 246 for 12 classes, 188 uniform).
+# Width classes: v5e sweeps (round 1 + round 2, PROGRESS: width_sweep).
+# Finer classes cut padding but pay per-op dispatch; (4,8,16,32,64) is
+# the measured optimum at D=128 on the power-law bench.  With the hub
+# path on, the hub extraction empties the ≥64 tail anyway, so the
+# choice only matters for hub_matmul=False graphs (round-2 sweep:
+# width sets beyond this are within run-to-run noise, ±10%).
 DEFAULT_WIDTHS = (4, 8, 16, 32, 64)
+
+_HUB_PRECISIONS = ("hi_lo", "bf16", "f32")
 
 
 @dataclass
@@ -153,27 +158,47 @@ class BinnedEll:
     h_perm[i] = x[perm[i]]; returns out_perm with out_perm[i] =
     Σ_{u ∈ N(perm[i])} x[u].  apply(x) adds the boundary permutes.
 
-    Hub path: the v5e gather unit is row-count-bound (~5.5e8 rows/s at
+    Mask-free padding: pad slots in every gather table point at row 0,
+    and the spurious contribution is removed with a rank-1 correction
+    ``out[i] -= padcnt[i] * buf[0]``.  This replaces the per-slot
+    where-mask (a [n, w, D] select) with a [n, D] fused multiply-sub;
+    measured on v5e it lifts the power-law bench from 338 to 384
+    M edges/s (round-2 calibration).
+
+    Hub path: the v5e gather unit is row-count-bound (~5.2e8 rows/s at
     D=128, BASELINE.md calibration), so on power-law graphs the few
-    hundred highest-occurrence *sources* — which account for ~30% of
+    hundred highest-occurrence *sources* — which account for ~25% of
     all arcs — are pulled out of the gather tables entirely and their
     contribution computed on the MXU as ``B @ x[hubs]`` where
     ``B[i, j]`` counts hub j in N(perm[i]) (int8/int16, converted to
-    bf16 in-register).  Exactness: features are split into a bf16
-    hi/lo pair (two matmuls, f32 accumulation), keeping relative error
-    ~1e-7 — well inside the engine's f32-epsilon dominance tolerance.
-    Removing hubs also shrinks residual degrees, cutting ELL padding.
+    bf16 in-register).  Removing hubs also shrinks residual degrees,
+    cutting ELL padding.
+
+    Hub-path numerics (precision per mode, measured on signed inputs):
+      * ``hi_lo`` (default): bf16 hi/lo split, two matmuls with f32
+        accumulation.  The two-term split leaves a ~2^-16 (~1.5e-5)
+        per-addend residual; under cancellation of signed features the
+        worst case grows to ~1e-3 relative — fine for training and for
+        candidate *filtering* (any superset is corrected by refinement)
+        but NOT a bit-exactness guarantee.  Exact-parity consumers
+        (VDE/PDE stage) do not use this layout at all.
+      * ``f32``: f32 matmul with precision=HIGHEST (auto-selected when
+        any multiplicity exceeds 256, where bf16 counts would round).
+      * ``bf16``: single bf16 matmul, cheapest, for bf16 activations.
     """
     perm: np.ndarray            # int64[V]: new row i holds vertex perm[i]
     rank: np.ndarray            # int64[V]: inverse (rank[v] = row of v)
     class_tables: List[np.ndarray]  # int32[n_c, w_c], rows contiguous
+    class_padcnt: List[np.ndarray]  # f32[n_c] or None (no padding)
     head_tables: List[np.ndarray]   # chunk fold levels for the head
+    head_padcnt: List[np.ndarray]   # f32[rows] or None, per fold level
     num_head: int               # head vertices (first rows of output)
     num_vertices: int
-    num_slots: int
+    num_slots: int              # gather slots over RESIDUAL (non-hub) arcs
+    num_hub_arcs: int = 0       # arcs routed through the MXU hub path
     hub_rows: np.ndarray = None     # int32[H]: permuted rows of hubs
     hub_counts: np.ndarray = None   # int8/int16[V, H] multiplicity B
-    hub_precision: str = "hi_lo"    # "hi_lo" (≈f32) | "bf16" | "f32"
+    hub_precision: str = "hi_lo"    # see class docstring
 
     def _hub_part(self, h_perm):
         import jax
@@ -184,6 +209,7 @@ class BinnedEll:
         if self.hub_precision == "f32":
             return jax.lax.dot_general(
                 B.astype(jnp.float32), xh.astype(jnp.float32), dims,
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
         Bb = B.astype(jnp.bfloat16)   # counts ≤ 256 are exact in bf16
         hi = xh.astype(jnp.bfloat16)
@@ -195,26 +221,27 @@ class BinnedEll:
                 Bb, lo, dims, preferred_element_type=jnp.float32)
         return out.astype(h_perm.dtype)
 
+    @staticmethod
+    def _gather_sum(buf, tbl, padcnt):
+        """Σ_k buf[tbl[:, k]] minus the pad-slot correction."""
+        import jax.numpy as jnp
+        tblj = jnp.asarray(tbl)
+        g = jnp.take(buf, tblj.reshape(-1), axis=0).reshape(
+            *tblj.shape, buf.shape[-1]).sum(1)
+        if padcnt is not None:
+            g = g - jnp.asarray(padcnt)[:, None] * buf[0]
+        return g
+
     def apply_perm(self, h_perm):
         import jax.numpy as jnp
         parts = []
         if self.num_head:
-            cur = None
-            for li, tbl in enumerate(self.head_tables):
-                tblj = jnp.asarray(tbl)
-                src_buf = h_perm if li == 0 else cur
-                idx = jnp.maximum(tblj, 0)
-                g = jnp.take(src_buf, idx.reshape(-1), axis=0).reshape(
-                    *tblj.shape, h_perm.shape[-1])
-                cur = jnp.where((tblj >= 0)[..., None], g, 0.0).sum(1)
+            cur = h_perm
+            for tbl, pc in zip(self.head_tables, self.head_padcnt):
+                cur = self._gather_sum(cur, tbl, pc)
             parts.append(cur)
-        for tbl in self.class_tables:
-            tblj = jnp.asarray(tbl)
-            idx = jnp.maximum(tblj, 0)
-            g = jnp.take(h_perm, idx.reshape(-1), axis=0).reshape(
-                *tblj.shape, h_perm.shape[-1])
-            parts.append(
-                jnp.where((tblj >= 0)[..., None], g, 0.0).sum(1))
+        for tbl, pc in zip(self.class_tables, self.class_padcnt):
+            parts.append(self._gather_sum(h_perm, tbl, pc))
         out = jnp.concatenate(parts, axis=0) if parts else \
             jnp.zeros_like(h_perm)
         if self.hub_rows is not None and len(self.hub_rows):
@@ -234,22 +261,55 @@ class BinnedEll:
         return self.unpermute(self.apply_perm(self.permute(h)))
 
 
+def _device_constants():
+    """(hbm_bytes_per_s, bf16_flops_per_s, gather_s_per_row) for the
+    first visible accelerator; conservative CPU numbers otherwise.
+    Gather rate: measured 5.2e8 rows/s on v5e at D=128 (BASELINE.md);
+    other chips scaled by HBM bandwidth ratio (the gather engine is
+    bandwidth-fed even when row-count-bound)."""
+    try:
+        import jax
+        kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    except Exception:  # pragma: no cover - no backend at build time
+        kind = ""
+    v5e = (819e9, 197e12, 1.93e-9)
+    if "v5 lite" in kind or "v5e" in kind:
+        return v5e
+    if "v5p" in kind:
+        return 2765e9, 459e12, 1.93e-9 * 819 / 2765
+    if "v4" in kind:
+        return 1228e9, 275e12, 1.93e-9 * 819 / 1228
+    if "v6" in kind or "trillium" in kind:
+        return 1640e9, 918e12, 1.93e-9 * 819 / 1640
+    if "tpu" in kind:
+        return v5e
+    return 50e9, 1e12, 2e-9  # CPU fallback
+
+
 def _select_hubs(num_v: int, neighbors: np.ndarray, feature_dim: int,
-                 max_hubs: int):
+                 max_hubs: int, hub_mem_budget: int):
     """Pick hub sources worth routing through the MXU.
 
     Include vertex i (by occurrence count in ``neighbors``) while the
-    gather time its arcs would cost (~1.8 ns/row, v5e calibration)
-    exceeds the marginal cost of one more B column: V int8 bytes of
-    HBM traffic plus two bf16 [V,1]x[1,D] matmul slivers.
-    """
+    gather time its arcs would cost (per-row cost from the device
+    calibration table) exceeds the marginal cost of one more B column:
+    V int8 bytes of HBM traffic plus two bf16 [V,1]x[1,D] matmul
+    slivers.  The hub count is additionally capped so the dense B
+    matrix fits ``hub_mem_budget`` bytes (int8 on device)."""
+    bw, flops, gather_row_s = _device_constants()
     occ = np.bincount(neighbors, minlength=num_v).astype(np.int64)
-    col_cost_s = num_v / 819e9 + 4.0 * num_v * feature_dim / 197e12
-    thresh = max(4.0, col_cost_s / 1.8e-9)
+    col_cost_s = num_v / bw + 4.0 * num_v * feature_dim / flops
+    thresh = max(4.0, col_cost_s / gather_row_s)
     order = np.argsort(-occ, kind="stable")
     n = int((occ[order] > thresh).sum())
-    n = min(n, max_hubs, num_v)
+    n = min(n, max_hubs, num_v, max(0, hub_mem_budget // max(1, num_v)))
     return order[:n]
+
+
+def _padcnt(tbl_filled: np.ndarray, pad_mask: np.ndarray):
+    """f32 pad-slot count per row, or None when the table is full."""
+    cnt = pad_mask.sum(1)
+    return cnt.astype(np.float32) if cnt.any() else None
 
 
 def build_binned_ell(offsets: np.ndarray, neighbors: np.ndarray,
@@ -257,38 +317,59 @@ def build_binned_ell(offsets: np.ndarray, neighbors: np.ndarray,
                      hub_matmul: bool = True,
                      feature_dim_hint: int = 128,
                      max_hubs: int = 2048,
-                     hub_precision: str = "hi_lo") -> BinnedEll:
+                     hub_precision: str = "hi_lo",
+                     hub_mem_budget: int = 256 << 20) -> BinnedEll:
     """Build the degree-binned relabeled layout (host, O(E log V)).
 
     With ``hub_matmul`` the top-occurrence sources are lifted out of
     the gather tables into a dense count matrix contracted on the MXU
     (see BinnedEll docstring); the ELL tables are then built over the
     residual adjacency.  ``feature_dim_hint`` only tunes the hub-count
-    economics; any D works at apply time.
+    economics; any D works at apply time.  ``hub_mem_budget`` caps the
+    dense B matrix (bytes, int8) so power-law graphs at V≈1e6+ cannot
+    OOM the build.  When any hub multiplicity exceeds 256, a caller-
+    supplied bf16 ``hub_precision`` is auto-upgraded to "f32" (bf16
+    integer rounding starts at 257); pass hub_matmul=False to opt out.
     """
+    if tuple(sorted(set(widths))) != tuple(widths):
+        raise ValueError(f"widths must be strictly increasing: {widths}")
+    if hub_precision not in _HUB_PRECISIONS:
+        raise ValueError(f"hub_precision {hub_precision!r} not in "
+                         f"{_HUB_PRECISIONS}")
     num_v = len(offsets) - 1
     offsets = np.asarray(offsets, dtype=np.int64)
     neighbors = np.asarray(neighbors)
 
     hub_rows = hub_counts = None
+    num_hub_arcs = 0
     if hub_matmul and num_v and len(neighbors):
-        hubs = _select_hubs(num_v, neighbors, feature_dim_hint, max_hubs)
+        hubs = _select_hubs(num_v, neighbors, feature_dim_hint,
+                            max_hubs, hub_mem_budget)
         if len(hubs):
+            nh = len(hubs)
             hub_id = np.full(num_v, -1, dtype=np.int64)
-            hub_id[hubs] = np.arange(len(hubs))
+            hub_id[hubs] = np.arange(nh)
             arc_dst = np.repeat(np.arange(num_v),
                                 np.diff(offsets).astype(np.int64))
             j = hub_id[neighbors]
             is_hub = j >= 0
-            B = np.zeros((num_v, len(hubs)), dtype=np.int64)
-            np.add.at(B, (arc_dst[is_hub], j[is_hub]), 1)
-            cmax = int(B.max(initial=0))
+            num_hub_arcs = int(is_hub.sum())
+            # Sparse count build: O(hub_arcs) transient memory, then a
+            # single dense int8/int16 [V, H] fill (the matrix the MXU
+            # needs anyway, capped by hub_mem_budget in _select_hubs).
+            key = arc_dst[is_hub] * nh + j[is_hub]
+            uk, cnt = np.unique(key, return_counts=True)
+            cmax = int(cnt.max(initial=0))
+            assert cmax <= 32767, \
+                f"hub multiplicity {cmax} overflows int16"
             # bf16 holds integers exactly only up to 256; past that the
             # conversion in apply would silently round multiplicities.
-            if cmax > 256:
+            if cmax > 256 and hub_precision != "f32":
                 hub_precision = "f32"
-            hub_counts = B.astype(
-                np.int8 if cmax <= 127 else np.int16)
+            B = np.zeros((num_v, nh),
+                         dtype=np.int8 if cmax <= 127 else np.int16)
+            B[uk // nh, uk % nh] = cnt
+            hub_counts = B
             # Residual adjacency: drop hub occurrences.
             keep = ~is_hub
             neighbors = neighbors[keep]
@@ -309,6 +390,7 @@ def build_binned_ell(offsets: np.ndarray, neighbors: np.ndarray,
 
     # ---- head: chunk into width-wmax rows, fold recursively ---------
     head_tables: List[np.ndarray] = []
+    head_padcnt: List[np.ndarray] = []
     if num_head:
         h_deg = deg_s[:num_head]
         chunks_per = -(-h_deg // wmax)
@@ -322,7 +404,9 @@ def build_binned_ell(offsets: np.ndarray, neighbors: np.ndarray,
         flat_nbr = neighbors[np.repeat(starts, h_deg) + arc_pos]
         tbl0[c_start[arc_v] + arc_pos // wmax,
              arc_pos % wmax] = rank[flat_nbr]
-        head_tables.append(tbl0)
+        pad0 = tbl0 < 0
+        head_tables.append(np.where(pad0, 0, tbl0))
+        head_padcnt.append(_padcnt(tbl0, pad0))
         slots += tbl0.size
         # Fold chunk rows per head vertex (recursively if very deep).
         counts, start = chunks_per, c_start
@@ -335,7 +419,9 @@ def build_binned_ell(offsets: np.ndarray, neighbors: np.ndarray,
                 pos = (np.arange(int(counts.sum()))
                        - np.repeat(start, counts))
                 tbl[iv, pos] = np.arange(int(counts.sum()))
-                head_tables.append(tbl)
+                pad = tbl < 0
+                head_tables.append(np.where(pad, 0, tbl))
+                head_padcnt.append(_padcnt(tbl, pad))
                 slots += tbl.size
                 break
             sub = -(-counts // fold_w)
@@ -345,19 +431,23 @@ def build_binned_ell(offsets: np.ndarray, neighbors: np.ndarray,
             pos = np.arange(int(counts.sum())) - np.repeat(start, counts)
             tbl[s_start[iv] + pos // fold_w,
                 pos % fold_w] = np.arange(int(counts.sum()))
-            head_tables.append(tbl)
+            pad = tbl < 0
+            head_tables.append(np.where(pad, 0, tbl))
+            head_padcnt.append(_padcnt(tbl, pad))
             slots += tbl.size
             counts, start = sub, s_start
 
     # ---- width classes over the rest (contiguous ranges) ------------
     class_tables: List[np.ndarray] = []
+    class_padcnt: List[np.ndarray] = []
     lo = num_head
-    for w in widths[::-1]:
-        w_lo = 0 if w == widths[0] else widths[widths.index(w) - 1]
-        # vertices with w_lo < deg <= w  (deg_s descending ⇒ contiguous)
-        hi = lo + int(((deg_s[lo:] <= w) & (deg_s[lo:] > w_lo)).sum()) \
-            if w > widths[0] else \
-            lo + int((deg_s[lo:] <= w).sum())
+    bounds = list(widths[::-1])
+    lowers = [0] + list(widths[:-1])
+    for w, w_lo in zip(bounds, lowers[::-1]):
+        # vertices with w_lo < deg <= w (deg_s descending ⇒ contiguous)
+        hi = lo + int(((deg_s[lo:] <= w) & (deg_s[lo:] > w_lo)).sum())
+        if w == widths[0]:      # smallest class also takes deg < w_lo+1
+            hi = lo + int((deg_s[lo:] <= w).sum())
         n = hi - lo
         if n == 0:
             lo = hi
@@ -369,7 +459,9 @@ def build_binned_ell(offsets: np.ndarray, neighbors: np.ndarray,
         starts = offsets[perm[lo:hi]]
         flat_nbr = neighbors[np.repeat(starts, d) + pos]
         tbl[iv, pos] = rank[flat_nbr]
-        class_tables.append(tbl)
+        pad = tbl < 0
+        class_tables.append(np.where(pad, 0, tbl))
+        class_padcnt.append(_padcnt(tbl, pad))
         slots += tbl.size
         lo = hi
     assert lo == num_v, (lo, num_v)
@@ -378,8 +470,10 @@ def build_binned_ell(offsets: np.ndarray, neighbors: np.ndarray,
         hub_counts = hub_counts[perm]           # rows in permuted space
         hub_rows = rank[hub_vertices].astype(np.int32)
     return BinnedEll(perm=perm, rank=rank, class_tables=class_tables,
-                     head_tables=head_tables, num_head=num_head,
+                     class_padcnt=class_padcnt, head_tables=head_tables,
+                     head_padcnt=head_padcnt, num_head=num_head,
                      num_vertices=num_v, num_slots=int(slots),
+                     num_hub_arcs=num_hub_arcs,
                      hub_rows=hub_rows, hub_counts=hub_counts,
                      hub_precision=hub_precision)
 

@@ -54,13 +54,22 @@ def test_ell_isolated_vertices():
 
 
 def test_pallas_spmm_interpret(rand_graph):
-    from gnnpe_tpu.ops.pallas.spmm_kernel import spmm_pallas
+    """The retired per-row-DMA Pallas SpMM (experiments/pallas_spmm:
+    33 M edges/s vs 368 M for binned ELL on v5e) stays correct so its
+    measurement record remains reproducible."""
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "pallas_spmm", pathlib.Path(__file__).resolve().parents[1]
+        / "experiments" / "pallas_spmm.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
     rng = np.random.RandomState(2)
     x = rng.rand(300, 128).astype(np.float32)
     want = _ref_agg(rand_graph, x)
-    got = np.asarray(spmm_pallas(rand_graph.offsets,
-                                 rand_graph.neighbors,
-                                 jnp.asarray(x), interpret=True))
+    got = np.asarray(mod.spmm_pallas(rand_graph.offsets,
+                                     rand_graph.neighbors,
+                                     jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
@@ -156,15 +165,18 @@ def test_binned_ell_matches_reference(rand_graph):
 
 
 def test_binned_ell_padding_and_head(data_graph):
-    """Padding stays under the 1.4x width-step bound on Test/ (max
-    degree 168 forces the head chunk+fold path)."""
+    """Padding stays under the width-step bound on Test/ (max degree
+    168 forces the head chunk+fold path).  hub_matmul pinned off so
+    num_slots covers ALL arcs and the bound is dataset-stable."""
     from gnnpe_tpu.ops.ell import build_binned_ell
-    lay = build_binned_ell(data_graph.offsets, data_graph.neighbors)
-    assert lay.num_head >= 1          # deg 168 > widest class 64
+    lay = build_binned_ell(data_graph.offsets, data_graph.neighbors,
+                           hub_matmul=False)
+    assert lay.num_head >= 1          # deg 168 > widest class
+    assert lay.num_hub_arcs == 0
     e = data_graph.offsets[-1]
-    # Bound: width-class step (1.4x) + the min-width floor (deg<4 rows
-    # pad to 4; Test/ has many degree-1..3 vertices).
-    assert lay.num_slots <= 1.6 * e, (lay.num_slots, e)
+    # Bound: width-class step + the min-width floor (deg<4 rows pad
+    # to 4; Test/ has many degree-1..3 vertices).
+    assert lay.num_slots <= 1.7 * e, (lay.num_slots, e)
     import jax.numpy as jnp
     from gnnpe_tpu.ops.spmm import neighbor_sum_np
     x = np.random.RandomState(1).rand(
@@ -173,6 +185,40 @@ def test_binned_ell_padding_and_head(data_graph):
                            x.astype(np.float64))
     got = np.asarray(lay.apply(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_binned_ell_hub_signed_accuracy(rand_graph):
+    """Hub hi/lo path on SIGNED features: the two-term bf16 split
+    leaves ~1.5e-5 per-addend residual, growing under cancellation —
+    document the real envelope (hub vs hub-free agree to ~1e-3 rel on
+    signed inputs, not the old '~1e-7' claim)."""
+    import jax.numpy as jnp
+    from gnnpe_tpu.ops.ell import build_binned_ell
+    x = (np.random.RandomState(3).rand(rand_graph.num_vertices, 16)
+         .astype(np.float32) * 2.0 - 1.0)
+    hub = build_binned_ell(rand_graph.offsets, rand_graph.neighbors,
+                           hub_matmul=True, max_hubs=64)
+    ref = build_binned_ell(rand_graph.offsets, rand_graph.neighbors,
+                           hub_matmul=False)
+    got = np.asarray(hub.apply(jnp.asarray(x)))
+    want = np.asarray(ref.apply(jnp.asarray(x)))
+    scale = np.maximum(np.abs(want), 1.0)
+    assert np.max(np.abs(got - want) / scale) < 2e-3
+
+    # f32 hub precision must be tighter (precision=HIGHEST matmul).
+    hub32 = build_binned_ell(rand_graph.offsets, rand_graph.neighbors,
+                             hub_matmul=True, max_hubs=64,
+                             hub_precision="f32")
+    got32 = np.asarray(hub32.apply(jnp.asarray(x)))
+    assert np.max(np.abs(got32 - want) / scale) < 2e-5
+
+    import pytest
+    with pytest.raises(ValueError):
+        build_binned_ell(rand_graph.offsets, rand_graph.neighbors,
+                         hub_precision="f64")
+    with pytest.raises(ValueError):
+        build_binned_ell(rand_graph.offsets, rand_graph.neighbors,
+                         widths=(4, 4, 8))
 
 
 def test_symmetric_aggregate_gradient(rand_graph):
