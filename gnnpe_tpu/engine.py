@@ -75,10 +75,12 @@ class PEEngine:
         if device:
             from gnnpe_tpu.paths.device_enumerate import \
                 enumerate_paths_device
-            from gnnpe_tpu.paths.enumerate import dedup_orientations
+            from gnnpe_tpu.paths.enumerate import (
+                dedup_orientations_streaming, start_ranks)
             rows = enumerate_paths_device(self.graph, order,
                                           self.config.path_length)
-            self.paths = rows[dedup_orientations(rows)]
+            rank = start_ranks(order, self.graph.num_vertices)
+            self.paths = rows[dedup_orientations_streaming(rows, rank)]
             owner = self.membership[self.paths[:, 0]]
             nparts = int(self.membership.max()) + 1
             self.partition_rows = [
@@ -104,14 +106,28 @@ class PEEngine:
             self.index = None
         return self
 
-    def attach_mesh(self, mesh, axis: str = "graph"):
+    def attach_mesh(self, mesh, axis: str = "graph",
+                    packed: bool = False):
         """Shard the path table over ``mesh``'s ``axis`` for distributed
         online search (the TPU form of the reference's per-partition
-        OpenMP search + serial union, main.cpp:155-172)."""
-        from gnnpe_tpu.parallel.query import ShardedPESearch
+        OpenMP search + serial union, main.cpp:155-172).
+
+        packed=True shards the packed dominance index instead of the
+        flat table: block summaries prune on device before the leaf
+        pass (index/device_packed.py) — same candidates, less HBM
+        traffic at scale.  Requires build_index(packed=True) first."""
         assert self.data_pde is not None, "call offline() + build_index()"
-        self.sharded = ShardedPESearch(mesh, self.data_pde, axis=axis,
-                                       base_epsilon=self.config.epsilon)
+        if packed:
+            from gnnpe_tpu.index.device_packed import DevicePackedPESearch
+            assert self.index is not None, "build_index(packed=True) first"
+            self.sharded = DevicePackedPESearch(
+                mesh, self.index, axis=axis,
+                base_epsilon=self.config.epsilon)
+        else:
+            from gnnpe_tpu.parallel.query import ShardedPESearch
+            self.sharded = ShardedPESearch(
+                mesh, self.data_pde, axis=axis,
+                base_epsilon=self.config.epsilon)
         return self
 
     def online(self, query_graph: CSRGraph, engine: str = "auto",
@@ -278,14 +294,25 @@ class PGEEngine:
             self.index = None
         return self
 
-    def attach_mesh(self, mesh, axis: str = "graph"):
+    def attach_mesh(self, mesh, axis: str = "graph",
+                    packed: bool = False):
         """Shard the vertex table over ``mesh`` for distributed online
-        search (GNN-PGE/src/main.cpp:342-346's OpenMP loop, SPMD form)."""
-        from gnnpe_tpu.parallel.query import ShardedPGESearch
+        search (GNN-PGE/src/main.cpp:342-346's OpenMP loop, SPMD form).
+        packed=True shards the packed vertex index (block pruning on
+        device; requires offline(packed=True))."""
         assert self.group is not None, "call offline() first"
-        self.sharded = ShardedPGESearch(
-            mesh, self.vertices.labels, self.vertices.degrees,
-            self.group, self.label_group, axis=axis)
+        if packed:
+            from gnnpe_tpu.index.device_packed import \
+                DevicePackedPGESearch
+            assert getattr(self, "index", None) is not None, \
+                "offline(packed=True) first"
+            self.sharded = DevicePackedPGESearch(mesh, self.index,
+                                                 axis=axis)
+        else:
+            from gnnpe_tpu.parallel.query import ShardedPGESearch
+            self.sharded = ShardedPGESearch(
+                mesh, self.vertices.labels, self.vertices.degrees,
+                self.group, self.label_group, axis=axis)
         return self
 
     def online(self, query_graph: CSRGraph, engine: str = "auto",

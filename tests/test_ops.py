@@ -73,10 +73,10 @@ def test_pallas_spmm_interpret(rand_graph):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_device_filter_superset_and_count(data_graph, query_graph):
-    """f32 device filter must produce a superset of the exact f64
-    candidates, and the refined count must be unchanged (PGE-exact
-    semantics)."""
+def test_device_filter_exact_and_count(data_graph, query_graph):
+    """The limb-compare device filter must produce candidate sets
+    EQUAL to the exact f64 host filter, and the identical 45,426
+    refined count (bit-exact f64 decisions via split3/ge3)."""
     from gnnpe_tpu.config import PEConfig
     from gnnpe_tpu.engine import PEEngine
     from gnnpe_tpu.match.device_filter import pe_candidates_device
@@ -97,13 +97,33 @@ def test_device_filter_superset_and_count(data_graph, query_graph):
     exact = pe_candidates(eng.data_pde, q_pde, plan, 8)
     fast = pe_candidates_device(eng.data_pde, q_pde, plan, 8)
     for e, f in zip(exact, fast):
-        assert set(e.tolist()) <= set(f.tolist()), "dropped candidates"
-    # refinement count from the superset equals the strict-PE count on
-    # this fixture (start-vertex candidate set unchanged here)
+        assert np.array_equal(np.asarray(e), np.asarray(f))
     n_exact = refinement(data_graph, query_graph, exact)
     n_fast = refinement(data_graph, query_graph, fast)
     assert n_exact == 45426
-    assert n_fast >= n_exact
+    assert n_fast == n_exact
+
+
+def test_split3_ge3_bit_exact():
+    """Limb-lexicographic compare == f64 compare on adversarial pairs:
+    values differing in the last mantissa bit, equal values, negatives,
+    and the actual VDE value distribution."""
+    import jax.numpy as jnp
+    from gnnpe_tpu.match.device_filter import ge3, split3
+    rng = np.random.RandomState(0)
+    a = rng.rand(4096) * rng.choice([1.0, -1.0, 1e-6, 1e6], 4096)
+    bump = np.where(rng.rand(4096) < 0.5, np.spacing(a), 0.0)
+    b = np.where(rng.rand(4096) < 0.3, a, a + bump)
+    b[::7] = rng.rand(len(b[::7]))       # unrelated values too
+    ah, am, al = (jnp.asarray(v) for v in split3(a))
+    bh, bm, bl = (jnp.asarray(v) for v in split3(b))
+    got = np.asarray(ge3(ah, am, al, bh, bm, bl))
+    np.testing.assert_array_equal(got, a >= b)
+    # Round-trip exactness of the decomposition itself.
+    h, m, l = split3(a)
+    np.testing.assert_array_equal(
+        h.astype(np.float64) + m.astype(np.float64)
+        + l.astype(np.float64), a)
 
 
 def test_sharded_filter_matches(data_graph, query_graph):

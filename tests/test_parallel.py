@@ -114,17 +114,49 @@ def test_sharded_pe_answer_parity(pe_engine_sharded, query_graph,
         golden_meta["pe"]["candidate_sizes"]
 
 
-def test_sharded_pe_device_union_superset(pe_engine_sharded, query_graph,
-                                          golden_meta):
-    """union="device" (bitmap + psum-OR) must produce a superset of the
-    exact candidates (f32 slack only adds) and the same final count."""
+def test_sharded_pe_device_union_exact(pe_engine_sharded, query_graph,
+                                       golden_meta):
+    """union="device" (bitmap + psum-OR) candidate sets must EQUAL the
+    host-union sets — the limb compare makes device decisions bit-exact
+    f64, so PE parity (candidate-set dependent, SURVEY §0.3) holds
+    under the collective union too."""
     exact = pe_engine_sharded.online(query_graph, engine="python",
                                      union="host")
     dev = pe_engine_sharded.online(query_graph, engine="python",
                                    union="device")
     for ce, cd in zip(exact.candidates, dev.candidates):
-        assert set(map(int, ce)) <= set(map(int, cd))
-    assert dev.answer_count >= golden_meta["pe"]["answer_number"]
+        assert np.array_equal(np.asarray(ce), np.asarray(cd))
+    assert dev.answer_count == golden_meta["pe"]["answer_number"]
+
+
+@pytest.mark.parametrize("union", ["host", "device"])
+def test_sharded_packed_pe_parity(data_graph, query_graph, golden_meta,
+                                  union):
+    """Fused device packed-index search (block prune + leaf in two
+    dispatches, blocks sharded over 8 devices) must be bit-equal to the
+    flat filter and hit the 45,426 PE parity count — both unions."""
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.engine import PEEngine
+    eng = PEEngine(PEConfig.from_cli(l=2, e=2, p=5),
+                   data_graph).offline().build_index(packed=True)
+    eng.attach_mesh(make_mesh(8, axes=("graph",), shape=(8,)),
+                    packed=True)
+    r = eng.online(query_graph, engine="python", union=union)
+    assert r.answer_count == golden_meta["pe"]["answer_number"]
+    assert [len(c) for c in r.candidates] == \
+        golden_meta["pe"]["candidate_sizes"]
+
+
+def test_sharded_packed_pge_parity(data_graph, query_graph, golden_meta):
+    """Fused packed PGE search sharded over 8 devices == 221,832."""
+    from gnnpe_tpu.config import PGEConfig
+    from gnnpe_tpu.engine import PGEEngine
+    eng = PGEEngine(PGEConfig.from_cli(l=2, e=2, p=5),
+                    data_graph).offline(packed=True)
+    eng.attach_mesh(make_mesh(8, axes=("graph",), shape=(8,)),
+                    packed=True)
+    r = eng.online(query_graph, engine="python")
+    assert r.answer_count == golden_meta["pge"]["answer_number"]
 
 
 def test_sharded_pge_answer_parity(data_graph, query_graph, golden_meta):

@@ -21,7 +21,6 @@ def test_path_set_exact_parity(data_graph, golden_paths):
 
 def test_partition_lists_exact(data_graph, golden_paths):
     order = degree_sorted_nodes(data_graph)
-    membership = (order % 5)[np.argsort(order)]  # placeholder; overwritten
     # Reproduce the fixture membership: node % 5 (round robin by id).
     membership = np.arange(data_graph.num_vertices) % 5
     _, parts = enumerate_paths(data_graph, order, 3, dedup=True,
@@ -52,6 +51,24 @@ def test_dedup_keeps_first_orientation():
     ], dtype=np.int32)
     keep = dedup_orientations(paths)
     assert list(keep) == [0, 1, 4]
+
+
+def test_streaming_dedup_equals_sort_oracle(data_graph):
+    """The O(P) endpoint-rank rule == the sort-based oracle on the full
+    Test/ enumeration and on a random graph (any chunking too, since
+    the rule is row-local)."""
+    from gnnpe_tpu.paths.enumerate import (dedup_orientations_streaming,
+                                           start_ranks)
+    order = degree_sorted_nodes(data_graph)
+    rows = enumerate_paths_from(data_graph, order, 3)
+    want = np.zeros(len(rows), dtype=bool)
+    want[dedup_orientations(rows)] = True
+    rank = start_ranks(order, data_graph.num_vertices)
+    got = dedup_orientations_streaming(rows, rank)
+    assert np.array_equal(got, want)
+    # Row-local: any chunk agrees with its slice of the full mask.
+    got_chunk = dedup_orientations_streaming(rows[1000:9000], rank)
+    assert np.array_equal(got_chunk, want[1000:9000])
 
 
 def test_pge_no_dedup_counts(data_graph):
