@@ -106,6 +106,101 @@ def path_groups(vertices: VertexEmbeddings, start: np.ndarray,
     return group, label_group
 
 
+def path_groups_device(vertices: VertexEmbeddings, graph, order,
+                       num_vertices_per_path: int, pde_dim: int,
+                       chunk_starts: int = 4096):
+    """Bit-exact PGE path groups with the fold on DEVICE, streaming.
+
+    Scale problem (VERDICT r1): the host fold sorts all P paths and
+    reduceat-folds f64 rows — at the patents rung P ≈ 2.5e9, which
+    neither fits memory nor a 2-core host.  Device min/max folds would
+    lose exactness in f32 (PGE's leaf compares are strict f64)...
+    except min/max are SELECTIONS, not sums: mapping each vde value to
+    its per-dimension RANK (int32) preserves order exactly, so the
+    fold can run as jax segment_min/max over int32 ranks — bit-exact —
+    and the winning ranks map back to f64 values on host.  Memory is
+    O(V·pde_dim) regardless of P: paths are enumerated and folded in
+    start-vertex chunks and never materialized.
+
+    Reference semantics: GNN-PGE/src/main.cpp:95-177 (per-vertex
+    min/max over all paths from the vertex; pathless vertices get the
+    degenerate vde box padded with zeros, main.cpp:105-122).
+    """
+    import jax
+    import jax.numpy as jnp
+    from gnnpe_tpu.paths.enumerate import enumerate_paths_from
+
+    v = vertices.num_vertices
+    d = vertices.dim
+    l = num_vertices_per_path
+
+    # Per-dimension dense ranks of the vde/x value tables (host, O(V)).
+    def rank_tables(table):
+        ranks = np.empty((v, d), dtype=np.int32)
+        uniqs = []
+        for j in range(d):
+            u, inv = np.unique(table[:, j], return_inverse=True)
+            ranks[:, j] = inv
+            uniqs.append(u)
+        return ranks, uniqs
+
+    vde_rank, vde_uniq = rank_tables(vertices.vde)
+    x_rank, x_uniq = rank_tables(vertices.x)
+    vr = jnp.asarray(vde_rank)
+    xr = jnp.asarray(x_rank)
+    big = np.int32(2 ** 31 - 1)
+
+    @jax.jit
+    def fold_chunk(paths, mn_v, mx_v, mn_x, mx_x):
+        seg = paths[:, 0]
+        pv = jnp.take(vr, paths.reshape(-1), axis=0).reshape(
+            paths.shape[0], l * d)
+        px = jnp.take(xr, paths.reshape(-1), axis=0).reshape(
+            paths.shape[0], l * d)
+        mn_v = jnp.minimum(mn_v, jax.ops.segment_min(
+            pv, seg, num_segments=v))
+        mx_v = jnp.maximum(mx_v, jax.ops.segment_max(
+            pv, seg, num_segments=v))
+        mn_x = jnp.minimum(mn_x, jax.ops.segment_min(
+            px, seg, num_segments=v))
+        mx_x = jnp.maximum(mx_x, jax.ops.segment_max(
+            px, seg, num_segments=v))
+        return mn_v, mx_v, mn_x, mx_x
+
+    mn_v = jnp.full((v, l * d), big)
+    mx_v = jnp.full((v, l * d), -1, dtype=jnp.int32)
+    mn_x = jnp.full((v, l * d), big)
+    mx_x = jnp.full((v, l * d), -1, dtype=jnp.int32)
+    order = np.asarray(order)
+    for lo in range(0, len(order), chunk_starts):
+        rows = enumerate_paths_from(graph, order[lo:lo + chunk_starts], l)
+        if rows.shape[0] == 0:
+            continue
+        mn_v, mx_v, mn_x, mx_x = fold_chunk(
+            jnp.asarray(rows), mn_v, mx_v, mn_x, mx_x)
+
+    mn_v, mx_v = np.asarray(mn_v), np.asarray(mx_v)
+    mn_x, mx_x = np.asarray(mn_x), np.asarray(mx_x)
+    has_path = mx_v[:, 0] >= 0
+
+    group = np.zeros((v, 2, pde_dim), dtype=np.float64)
+    label_group = np.zeros((v, 2, pde_dim), dtype=np.float64)
+    group[:, 0, :d] = vertices.vde
+    group[:, 1, :d] = vertices.vde
+    label_group[:, 0, :d] = vertices.x
+    label_group[:, 1, :d] = vertices.x
+
+    def unrank(ranks_mat, uniqs, out):
+        for j in range(l * d):
+            out[has_path, j] = uniqs[j % d][ranks_mat[has_path, j]]
+
+    unrank(mn_v, vde_uniq, group[:, 0, :])
+    unrank(mx_v, vde_uniq, group[:, 1, :])
+    unrank(mn_x, x_uniq, label_group[:, 0, :])
+    unrank(mx_x, x_uniq, label_group[:, 1, :])
+    return group, label_group
+
+
 def path_group_keys(group: np.ndarray) -> np.ndarray:
     """Query-vertex search key: -Σ lower bounds of the path group
     (GNN-PGE/src/main.cpp:325-329)."""

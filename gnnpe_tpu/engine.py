@@ -276,15 +276,26 @@ class PGEEngine:
         self.label_group = None
         self.sharded = None
 
-    def offline(self, packed: bool = True):
+    def offline(self, packed: bool = True, device: bool = False,
+                chunk_starts: int = 4096):
         """VDE + per-vertex path groups (ref GNN-PGE/src/main.cpp:91-177)
-        + packed vertex index."""
+        + packed vertex index.  device=True streams the enumeration in
+        start chunks and folds groups on the accelerator via the exact
+        rank-space min/max (O(V) memory at any path count — the
+        patents-rung scale path)."""
         self.vertices = self.embedder(self.graph)
         order = degree_sorted_nodes(self.graph)
-        paths, _ = enumerate_paths(self.graph, order,
-                                   self.config.path_length, dedup=False)
-        self.group, self.label_group = path_groups(
-            self.vertices, paths[:, 0], paths, self.config.pde_dim)
+        if device:
+            from gnnpe_tpu.embed.pde import path_groups_device
+            self.group, self.label_group = path_groups_device(
+                self.vertices, self.graph, order,
+                self.config.path_length, self.config.pde_dim,
+                chunk_starts=chunk_starts)
+        else:
+            paths, _ = enumerate_paths(
+                self.graph, order, self.config.path_length, dedup=False)
+            self.group, self.label_group = path_groups(
+                self.vertices, paths[:, 0], paths, self.config.pde_dim)
         if packed:
             from gnnpe_tpu.index.packed import PGEPackedIndex
             self.index = PGEPackedIndex.build(

