@@ -23,10 +23,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: the axon relay pays ~20-40 s per
+# distinct compiled shape; the ladder reuses shapes across rungs/runs.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".cache", "jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 
 def run_rung(name: str, queries: int = 20, query_size: int = 8,

@@ -46,7 +46,13 @@ from gnnpe_tpu.match.device_filter import (extract_candidates, ge3,
 
 
 def _bucket(n: int, lo: int = 1) -> int:
+    """Next power of two ≥ n (≥ lo).  Shapes bucket so each distinct
+    bucket compiles once; the K floor below collapses small-query
+    variety into one compiled shape."""
     return max(lo, 1 << max(0, (n - 1).bit_length()))
+
+
+_K_FLOOR = 16      # surviving-block bucket floor (one shape ≤ 16 blks)
 
 
 def _pad_to(arr: np.ndarray, rows: int, fill) -> np.ndarray:
@@ -421,7 +427,7 @@ class DevicePackedPESearch:
         if kmax == 0:
             return [np.zeros(0, dtype=np.int64)
                     for _ in range(num_query_vertices)]
-        k = _bucket(min(kmax, nbl))
+        k = _bucket(min(kmax, nbl), lo=min(_K_FLOOR, nbl))
         # Pad selections with the shard's last block id; gate kills it.
         sel = np.full((n, k), 0, dtype=np.int32)
         bqm = np.zeros((n, k, qb), dtype=bool)
@@ -606,7 +612,7 @@ class DevicePackedPGESearch:
         kmax = max((len(s) for s in sel_per), default=0)
         if kmax == 0:
             return [np.zeros(0, dtype=np.int64) for _ in q_vertex_ids]
-        k = _bucket(min(kmax, nbl))
+        k = _bucket(min(kmax, nbl), lo=min(_K_FLOOR, nbl))
         sel = np.zeros((n, k), dtype=np.int32)
         bqm = np.zeros((n, k, qb), dtype=bool)
         for s, ss in enumerate(sel_per):

@@ -125,3 +125,34 @@ def test_label_adjacency(data_graph):
                   if l not in set(g.labels[nbrs].tolist())]
         if absent:
             assert len(g.neighbors_with_label(int(v), absent[0])) == 0
+
+
+def test_multilevel_partitioner_quality():
+    """Multilevel (METIS-style) must (a) exactly recover a planted
+    8-community SBM cut, (b) beat BFS growing on Test/, (c) respect the
+    1.05 balance bound."""
+    import numpy as np
+    from gnnpe_tpu.graph.csr import CSRGraph
+    from gnnpe_tpu.graph.partition import edge_cut, partition_graph
+    rng = np.random.RandomState(0)
+    k, n = 8, 500
+    edges = []
+    for c in range(k):
+        u = rng.randint(0, n, n * 8) + c * n
+        v = rng.randint(0, n, n * 8) + c * n
+        edges.append(np.stack([u, v], 1))
+    u = rng.randint(0, n * k, n * k // 2)
+    v = rng.randint(0, n * k, n * k // 2)
+    edges.append(np.stack([u, v], 1))
+    e = np.concatenate(edges)
+    e = e[e[:, 0] != e[:, 1]]
+    g = CSRGraph.from_edges(n * k, e, np.zeros(n * k, np.int64))
+    planted = np.arange(n * k) // n
+    m = partition_graph(g, k, strategy="multilevel")
+    assert edge_cut(g, m) <= int(edge_cut(g, planted) * 1.05)
+    assert np.bincount(m).max() <= 1.06 * n
+
+    gt = CSRGraph.from_graph_file("/root/reference/Test/data_graph.graph")
+    cut_ml = edge_cut(gt, partition_graph(gt, 5, strategy="multilevel"))
+    cut_bfs = edge_cut(gt, partition_graph(gt, 5, strategy="bfs"))
+    assert cut_ml < cut_bfs, (cut_ml, cut_bfs)
