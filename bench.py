@@ -217,15 +217,35 @@ def bench_query_latency():
     return float(np.median(pe_times)), float(np.median(pge_times))
 
 
-def main():
-    edges_per_sec, frac, dt = bench_aggregation()
+def main(argv=None):
+    import argparse
+    from gnnpe_tpu.utils.profiling import MetricsLog, trace
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--metrics", default="bench_metrics.jsonl",
+                    help="JSON-lines metrics file ('' disables)")
+    ap.add_argument("--trace", default="",
+                    help="capture a jax.profiler trace of the "
+                         "aggregation bench into this directory")
+    args = ap.parse_args(argv)
+    log = MetricsLog(args.metrics or None)
+    if args.trace:
+        with trace(args.trace):
+            edges_per_sec, frac, dt = bench_aggregation()
+    else:
+        edges_per_sec, frac, dt = bench_aggregation()
+    log.log("aggregation", edges_per_sec=round(edges_per_sec),
+            step_ms=round(dt * 1e3, 3), roofline_frac=round(frac, 4))
     try:
         pe_ms, pge_ms = bench_query_latency()
         print(f"[bench] PE online {pe_ms:.1f} ms (ref warm ~3100 ms); "
               f"PGE online {pge_ms:.1f} ms (ref ~18 ms); "
               f"SpMM step {dt*1e3:.2f} ms", file=sys.stderr)
+        log.log("query_latency", pe_online_ms=round(pe_ms, 1),
+                pge_online_ms=round(pge_ms, 1))
     except Exception as e:  # secondary metrics must not kill the line
         print(f"[bench] query-latency bench failed: {e}", file=sys.stderr)
+        log.log("query_latency_error", error=str(e))
+    log.close()
     print(json.dumps({
         "metric": "aggregation_edges_per_sec_chip",
         "value": round(edges_per_sec),

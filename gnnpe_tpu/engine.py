@@ -213,10 +213,10 @@ class PEEngine:
                                           epsilon=self.config.epsilon)
         else:
             # Flat fallback: chunk plan rows so the bool[Q, P] pair
-            # mask stays bounded regardless of batch size.
+            # mask stays within ~256 MB regardless of batch size.
             cands_all = [np.zeros(0, dtype=np.int64)
                          for _ in range(base)]
-            step = max(1, 64)
+            step = max(1, int(256e6 // max(self.data_pde.num_paths, 1)))
             for lo in range(0, big.num_paths, step):
                 part = pe_candidates(
                     self.data_pde, big,

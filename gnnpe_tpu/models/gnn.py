@@ -137,7 +137,8 @@ class PathGNN:
 
 def dominance_loss(model: PathGNN, params: PathGNNParams, labels, src,
                    dst, num_vertices: int, paths, subpath_pairs,
-                   margin: float = 0.0, aggregate=None):
+                   margin: float = 0.0, aggregate=None,
+                   negative_pairs=None, neg_margin: float = 0.1):
     """Self-supervised dominance objective.
 
     subpath_pairs int32[B, 2]: rows (i, j) where path i's vertex set
@@ -145,11 +146,33 @@ def dominance_loss(model: PathGNN, params: PathGNNParams, labels, src,
     sampling paths and their embeddable sub-patterns).  The loss is a
     hinge on the element-wise dominance violation pde_i ≤ pde_j — the
     invariant the index prunes with — plus a small norm term to prevent
-    collapse."""
+    collapse.
+
+    negative_pairs int32[B2, 2] (optional): rows (i, j) that pass the
+    label+degree leaf filter (custom.h:410-434) but provably admit no
+    monomorphism i→j (e.g. the per-vertex NLF containment fails —
+    train.sample_negative_pairs).  For these the model is rewarded for
+    *violating* dominance in at least one dimension by ``neg_margin``,
+    which is what makes the pde test prune more than label+degree do
+    alone.  Exactness is unaffected for any weights: true-match pairs
+    satisfy dominance structurally (non-negative monotone layers), so
+    the discriminative term can only sharpen the filter on non-matches.
+    """
     pde = model.path_embeddings(params, labels, src, dst, num_vertices,
                                 paths, aggregate=aggregate)
     pi = jnp.take(pde, subpath_pairs[:, 0], axis=0)
     pj = jnp.take(pde, subpath_pairs[:, 1], axis=0)
     violation = jnp.maximum(pi - pj + margin, 0.0)
     anti_collapse = jnp.maximum(1.0 - jnp.mean(pde, axis=0), 0.0)
-    return jnp.mean(violation ** 2) + 0.01 * jnp.mean(anti_collapse ** 2)
+    loss = jnp.mean(violation ** 2) + 0.01 * jnp.mean(anti_collapse ** 2)
+    if negative_pairs is not None:
+        ni = jnp.take(pde, negative_pairs[:, 0], axis=0)
+        nj = jnp.take(pde, negative_pairs[:, 1], axis=0)
+        # Separation = the largest per-dimension dominance violation;
+        # the flat filter prunes j for query-like i iff this exceeds
+        # its epsilon.  Scale-normalize so the term cannot be gamed by
+        # inflating all features (anti_collapse bounds deflation).
+        sep = jnp.max(ni - nj, axis=1) / (
+            jnp.mean(jnp.abs(nj), axis=1) + 1e-6)
+        loss = loss + jnp.mean(jax.nn.softplus(neg_margin - sep))
+    return loss

@@ -14,7 +14,7 @@ gnnpe_tpu.parallel.dist.make_distributed_train_step.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -26,34 +26,117 @@ def sample_dominance_pairs(graph: CSRGraph, paths: np.ndarray,
                            num_pairs: int, seed: int = 0) -> np.ndarray:
     """int32[B, 2] rows (i, j): path i should be dominated by path j.
 
-    Positive construction: j shares i's label sequence position-wise
-    and each of i's vertices has degree ≤ j's (the monomorphism
-    necessary conditions the index prunes with; custom.h:410-434)."""
+    Positive construction: j shares i's label sequence position-wise,
+    each of i's vertices has degree ≤ j's (the leaf-filter necessary
+    conditions, custom.h:410-434), AND the per-vertex NLF containment
+    holds.  The NLF requirement keeps this set disjoint from
+    sample_negative_pairs — without it the dominance hinge and the
+    discriminative term fight over the same pairs and training goes
+    nowhere.  If the strict (NLF-containing) set is empty — tiny or
+    adversarial graphs — falls back to degree-only positives."""
     rng = np.random.RandomState(seed)
-    p = paths.shape[0]
-    labels = np.take(graph.labels, paths)
     degrees = np.take(graph.degrees, paths)
-    # Bucket paths by label signature; sample i,j within a bucket with
-    # degrees(i) <= degrees(j).
+    nlf = graph.nlf
+    flat, offs, sizes = _label_signature_buckets(graph, paths)
+    if flat is None:
+        return np.zeros((0, 2), dtype=np.int32)
+
+    def draw(require_nlf):
+        pairs = []
+        got = 0
+        for _ in range(64):  # vectorized rejection rounds
+            i, j = _draw_bucket_pairs(rng, flat, offs, sizes,
+                                      max(num_pairs, 4096))
+            fwd = (degrees[i] <= degrees[j]).all(axis=1)
+            bwd = (degrees[j] <= degrees[i]).all(axis=1)
+            if require_nlf:
+                fwd &= (nlf[paths[i]] <= nlf[paths[j]]).all(axis=(1, 2))
+                bwd &= (nlf[paths[j]] <= nlf[paths[i]]).all(axis=(1, 2))
+            bwd &= ~fwd
+            ii = np.concatenate([i[fwd], j[bwd]])
+            jj = np.concatenate([j[fwd], i[bwd]])
+            if len(ii):
+                pairs.append(np.stack([ii, jj], axis=1))
+                got += len(ii)
+            if got >= num_pairs:
+                break
+        if not pairs:
+            return np.zeros((0, 2), dtype=np.int32)
+        return np.concatenate(pairs)[:num_pairs].astype(np.int32)
+
+    strict = draw(require_nlf=True)
+    return strict if len(strict) else draw(require_nlf=False)
+
+
+def _label_signature_buckets(graph: CSRGraph, paths: np.ndarray):
+    """Rows of ``paths`` grouped by per-position label signature
+    (buckets of size ≥ 2), via one argsort — NOT a per-bucket scan,
+    which is O(#buckets · P) and hangs at 415k paths.  Returns
+    (flat_rows, bucket_offsets, bucket_sizes), or (None, None, None)
+    if no bucket has ≥ 2 rows."""
+    labels = np.take(graph.labels, paths)
     sig = np.ascontiguousarray(labels).view(
         np.dtype((np.void, labels.dtype.itemsize * labels.shape[1])))
     _, inverse = np.unique(sig.ravel(), return_inverse=True)
-    by_bucket: Dict[int, np.ndarray] = {}
-    for b in np.unique(inverse):
-        by_bucket[b] = np.nonzero(inverse == b)[0]
-    pairs = []
-    buckets = [b for b, rows in by_bucket.items() if len(rows) >= 2]
+    order = np.argsort(inverse, kind="stable")
+    sorted_inv = inverse[order]
+    cuts = np.nonzero(np.diff(sorted_inv))[0] + 1
+    buckets = [b for b in np.split(order, cuts) if len(b) >= 2]
     if not buckets:
+        return None, None, None
+    sizes = np.array([len(b) for b in buckets], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    return np.concatenate(buckets), offs, sizes
+
+
+def _draw_bucket_pairs(rng, flat, offs, sizes, n):
+    """n (i, j) path-row pairs drawn within random buckets, i != j."""
+    b = rng.randint(len(sizes), size=n)
+    i = flat[offs[b] + (rng.rand(n) * sizes[b]).astype(np.int64)]
+    j = flat[offs[b] + (rng.rand(n) * sizes[b]).astype(np.int64)]
+    keep = i != j
+    return i[keep], j[keep]
+
+
+def sample_negative_pairs(graph: CSRGraph, paths: np.ndarray,
+                          num_pairs: int, seed: int = 0) -> np.ndarray:
+    """int32[B, 2] rows (i, j): provably NON-matching candidate pairs.
+
+    Each pair passes the leaf filter's label+degree test position-wise
+    (so only the pde dominance test can prune it), but the per-vertex
+    NLF containment — for some position k and label ℓ, vertex i_k has
+    MORE ℓ-labeled neighbors than j_k — proves no monomorphism maps
+    path i into path j (neighbor labels must inject;
+    ref BuildNLF graph.cpp:107-123 states the same necessary
+    condition).  These are exactly the false candidates the fixed VDE
+    fails to prune; the discriminative loss term teaches the model to
+    separate them.  Feeding only provable negatives keeps the
+    objective consistent with the structural dominance guarantee."""
+    rng = np.random.RandomState(seed)
+    degrees = np.take(graph.degrees, paths)
+    nlf = graph.nlf  # int[V, L] neighbor-label counts
+    flat, offs, sizes = _label_signature_buckets(graph, paths)
+    if flat is None:
         return np.zeros((0, 2), dtype=np.int32)
-    while len(pairs) < num_pairs:
-        b = buckets[rng.randint(len(buckets))]
-        rows = by_bucket[b]
-        i, j = rows[rng.randint(len(rows), size=2)]
-        if (degrees[i] <= degrees[j]).all():
-            pairs.append((i, j))
-        elif (degrees[j] <= degrees[i]).all():
-            pairs.append((j, i))
-    return np.array(pairs, dtype=np.int32)
+    pairs = []
+    got = 0
+    for _ in range(64):  # vectorized rejection rounds
+        i, j = _draw_bucket_pairs(rng, flat, offs, sizes,
+                                  max(num_pairs, 4096))
+        keep = (degrees[i] <= degrees[j]).all(axis=1)
+        i, j = i[keep], j[keep]
+        if not len(i):
+            continue
+        # NLF containment must FAIL at >=1 position to prove i !-> j.
+        neg = (nlf[paths[i]] > nlf[paths[j]]).any(axis=(1, 2))
+        if neg.any():
+            pairs.append(np.stack([i[neg], j[neg]], axis=1))
+            got += int(neg.sum())
+        if got >= num_pairs:
+            break
+    if not pairs:
+        return np.zeros((0, 2), dtype=np.int32)
+    return np.concatenate(pairs)[:num_pairs].astype(np.int32)
 
 
 @dataclass
@@ -69,12 +152,19 @@ def fit(model: PathGNN, graph: CSRGraph, paths: np.ndarray,
         learning_rate: float = 1e-3, seed: int = 0,
         init_from_reference: bool = True,
         state: Optional[TrainState] = None,
-        aggregation: str = "segment") -> TrainState:
+        aggregation: str = "segment",
+        negatives: bool = False,
+        neg_margin: float = 0.1) -> TrainState:
     """Single-chip training loop (jit'd step, resumable via ``state``).
 
     aggregation: "segment" (COO segment-sum) or "binned" (the
     degree-binned relabeled gather layout with a scatter-free custom
     VJP — the production choice; ~8x faster forward+backward on v5e).
+
+    negatives=True adds the discriminative term over NLF-violating
+    candidate pairs (sample_negative_pairs) — the configuration that
+    actually shrinks candidate sets; see frontends/train_payoff.py
+    for the measured effect.
     """
     import jax
     import jax.numpy as jnp
@@ -113,22 +203,33 @@ def fit(model: PathGNN, graph: CSRGraph, paths: np.ndarray,
                                        seed=seed)
     if not len(pairs_all):
         raise ValueError("no dominance pairs could be sampled")
+    neg_all = (sample_negative_pairs(graph, paths,
+                                     num_pairs=batch_size * 8,
+                                     seed=seed + 7)
+               if negatives else np.zeros((0, 2), dtype=np.int32))
+    use_neg = len(neg_all) > 0
     paths_j = jnp.asarray(paths.astype(np.int32))
 
     @jax.jit
-    def step_fn(params, opt_state, pairs):
+    def step_fn(params, opt_state, pairs, neg):
         loss, grads = jax.value_and_grad(
-            lambda p: dominance_loss(model, p, labels, srcj, dstj,
-                                     graph.num_vertices, paths_j,
-                                     pairs, aggregate=aggregate))(params)
+            lambda p: dominance_loss(
+                model, p, labels, srcj, dstj, graph.num_vertices,
+                paths_j, pairs, aggregate=aggregate,
+                negative_pairs=neg if use_neg else None,
+                neg_margin=neg_margin))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     rng = np.random.RandomState(seed + 1)
+    neg_batch0 = jnp.zeros((1, 2), dtype=jnp.int32)
     for _ in range(num_steps):
         batch = pairs_all[rng.randint(len(pairs_all), size=batch_size)]
+        neg = (jnp.asarray(
+                   neg_all[rng.randint(len(neg_all), size=batch_size)])
+               if use_neg else neg_batch0)
         state.params, state.opt_state, loss = step_fn(
-            state.params, state.opt_state, jnp.asarray(batch))
+            state.params, state.opt_state, jnp.asarray(batch), neg)
         state.step += 1
         state.history.append(float(loss))
     return state

@@ -155,3 +155,61 @@ def test_trained_embedder_serves_exactly(toy):
                         ).offline()
     r = trained.online(q, engine="python")
     assert r.answer_count == want >= 1, (r.answer_count, want)
+
+
+def test_sample_negative_pairs_are_provable_negatives(data_graph):
+    """Negatives pass the label+degree leaf test (only pde can prune
+    them) but fail NLF containment (no monomorphism exists)."""
+    from gnnpe_tpu.graph.partition import degree_sorted_nodes
+    from gnnpe_tpu.models.train import sample_negative_pairs
+    from gnnpe_tpu.paths.enumerate import enumerate_paths
+
+    paths, _ = enumerate_paths(data_graph,
+                               degree_sorted_nodes(data_graph), 3,
+                               dedup=True)
+    neg = sample_negative_pairs(data_graph, paths, 512, seed=7)
+    assert len(neg) == 512
+    i, j = neg[:, 0], neg[:, 1]
+    lab = np.take(data_graph.labels, paths)
+    deg = np.take(data_graph.degrees, paths)
+    nlf = data_graph.nlf
+    assert (lab[i] == lab[j]).all()
+    assert (deg[i] <= deg[j]).all()
+    assert (nlf[paths[i]] > nlf[paths[j]]).any(axis=(1, 2)).all()
+
+
+def test_discriminative_training_separates_negatives(data_graph):
+    """Training with negatives=True increases the dominance-violation
+    margin on held-out negative pairs (the pruning signal) while the
+    served pipeline stays exact (dominance is structural)."""
+    from gnnpe_tpu.graph.partition import degree_sorted_nodes
+    from gnnpe_tpu.models.train import fit, sample_negative_pairs
+    from gnnpe_tpu.paths.enumerate import enumerate_paths
+
+    paths, _ = enumerate_paths(data_graph,
+                               degree_sorted_nodes(data_graph), 3,
+                               dedup=True)
+    model = PathGNN(dim=2, num_layers=1,
+                    labels_count=data_graph.labels_count,
+                    activation="softplus")
+    src, dst = data_graph.coo()
+    held_out = sample_negative_pairs(data_graph, paths, 256, seed=99)
+
+    def mean_sep(params):
+        pde = model.path_embeddings(
+            params, jnp.asarray(data_graph.labels), jnp.asarray(src),
+            jnp.asarray(dst), data_graph.num_vertices,
+            jnp.asarray(paths.astype(np.int32)))
+        ni = jnp.take(pde, held_out[:, 0], axis=0)
+        nj = jnp.take(pde, held_out[:, 1], axis=0)
+        sep = jnp.max(ni - nj, axis=1)
+        return float(jnp.mean(sep > 0))  # fraction prunable
+
+    state = fit(model, data_graph, paths, num_steps=100,
+                batch_size=512, seed=0, negatives=True,
+                learning_rate=1e-2)
+    table = label_feature_table(data_graph.labels_count, 2)
+    before = mean_sep(model.reference_params(table))
+    after = mean_sep(state.params)
+    assert after > before, (before, after)
+    assert state.history[-1] < state.history[0]
