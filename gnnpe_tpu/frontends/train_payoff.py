@@ -10,10 +10,17 @@ reference's fixed label-seeded VDE (custom.h:492-544):
     the refinement must grind through), and
   * online latency split by stage (search / refine).
 
-Exactness is structural (non-negative monotone layers preserve
-dominance for true matches — models/embedder.py), so the script
-*asserts* answer-count equality per query; any reduction in
-candidates is pure pruning win.
+The experiment runs the **PGE variant** (the exact one — its answers
+match the VF2 oracle, SURVEY.md §0.3): refinement verifies true
+monomorphisms, so any dominance-preserving embedding yields identical
+answers and candidate reduction is pure pruning win — the script
+*asserts* answer equality per query.  Shipped-PE parity answers are
+deliberately NOT used as the payoff oracle: its counts are
+candidate-set-DEPENDENT (orientation-deduped paths mean some true
+matches are only "covered" by false-positive path pairs,
+custom.h:68-78 + 410-434), so a strictly better filter legitimately
+changes the PE answer — tightening the filter is indistinguishable
+from fixing the reference's own non-exactness.
 
 Writes one JSON line per (dataset, embedder) row and regenerates the
 TRAINING.md table of record.
@@ -50,35 +57,41 @@ def evaluate(eng, queries):
 def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
         steps: int = 300, vde_dim: int = 2, l: int = 2, seed: int = 0,
         packed: bool = True, learning_rate: float = 1e-2) -> list:
-    from gnnpe_tpu.config import PEConfig
-    from gnnpe_tpu.engine import PEEngine
+    from gnnpe_tpu.config import PGEConfig
+    from gnnpe_tpu.engine import PGEEngine
+    from gnnpe_tpu.graph.partition import degree_sorted_nodes
     from gnnpe_tpu.io.datasets import load_dataset, sample_query
     from gnnpe_tpu.models.embedder import model_embedder
     from gnnpe_tpu.models.gnn import PathGNN
     from gnnpe_tpu.models.train import fit
+    from gnnpe_tpu.paths.enumerate import enumerate_paths
 
     g = load_dataset(dataset, seed=seed)
-    cfg = PEConfig.from_cli(l=l, e=vde_dim, p=5)
+    cfg = PGEConfig.from_cli(l=l, e=vde_dim, p=5)
     # Held-out queries: seeds disjoint from the training graph sampling
     # (training pairs come from data paths, not from these queries).
     qs = [sample_query(g, query_size, tree=True, seed=10_000 + seed + i)
           for i in range(queries)]
 
-    fixed = PEEngine(cfg, g).offline().build_index(packed=packed)
+    fixed = PGEEngine(cfg, g).offline(packed=packed)
     base = evaluate(fixed, qs)
     print(f"[payoff:{dataset}] fixed VDE: cands={base['cand_sum_mean']:.0f} "
           f"p50={base['online_p50_ms']:.0f}ms", file=sys.stderr)
 
+    # Training pairs from the deduped 3-vertex path set (the same
+    # necessary-condition structure PGE's groups are folded from).
+    train_paths, _ = enumerate_paths(g, degree_sorted_nodes(g),
+                                     max(l + 1, 2), dedup=True)
     model = PathGNN(dim=vde_dim, num_layers=1,
                     labels_count=g.labels_count, activation="softplus")
     t0 = time.time()
-    state = fit(model, g, fixed.paths, num_steps=steps,
+    state = fit(model, g, train_paths, num_steps=steps,
                 batch_size=1024, seed=seed, negatives=True,
                 learning_rate=learning_rate, aggregation="segment")
     train_s = time.time() - t0
-    trained = PEEngine(cfg, g,
-                       embedder=model_embedder(model, state.params)
-                       ).offline().build_index(packed=packed)
+    trained = PGEEngine(cfg, g,
+                        embedder=model_embedder(model, state.params)
+                        ).offline(packed=packed)
     tr = evaluate(trained, qs)
     assert tr["answers"] == base["answers"], \
         f"exactness violated: {tr['answers']} vs {base['answers']}"
@@ -89,11 +102,12 @@ def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
           f"train={train_s:.0f}s loss {state.history[0]:.4f}->"
           f"{state.history[-1]:.4f}", file=sys.stderr)
     rows = [
-        dict(dataset=dataset, embedder="fixed-vde", vde_dim=vde_dim,
-             l=l, queries=queries, **{k: round(v, 1) for k, v in
-                                      base.items() if k != "answers"},
+        dict(dataset=dataset, variant="pge", embedder="fixed-vde",
+             vde_dim=vde_dim, l=l, queries=queries,
+             **{k: round(v, 1) for k, v in
+                base.items() if k != "answers"},
              answers_ok=True),
-        dict(dataset=dataset, embedder="trained-pathgnn",
+        dict(dataset=dataset, variant="pge", embedder="trained-pathgnn",
              vde_dim=vde_dim, l=l, queries=queries,
              **{k: round(v, 1) for k, v in tr.items()
                 if k != "answers"},
@@ -117,15 +131,15 @@ def write_training_md(all_rows, path="TRAINING.md"):
         "(exactness is structural; reference embedding at",
         "custom.h:492-544 is the baseline).",
         "",
-        "| dataset | embedder | mean Σ\\|cands\\| | reduction | search p50 ms"
-        " | refine p50 ms | online p50 ms |",
-        "|---|---|---|---|---|---|---|",
+        "| dataset | embedder | D | mean Σ\\|cands\\| | reduction "
+        "| search p50 ms | refine p50 ms | online p50 ms |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in all_rows:
         red = (f"**-{r['candidate_reduction_pct']}%**"
                if "candidate_reduction_pct" in r else "—")
         lines.append(
-            f"| {r['dataset']} | {r['embedder']} | "
+            f"| {r['dataset']} | {r['embedder']} | {r['vde_dim']} | "
             f"{r['cand_sum_mean']:.0f} | {red} | "
             f"{r['search_p50_ms']:.1f} | {r['refine_p50_ms']:.1f} | "
             f"{r['online_p50_ms']:.1f} |")
