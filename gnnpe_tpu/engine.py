@@ -317,13 +317,15 @@ class PGEEngine:
                 DevicePackedPGESearch
             assert getattr(self, "index", None) is not None, \
                 "offline(packed=True) first"
-            self.sharded = DevicePackedPGESearch(mesh, self.index,
-                                                 axis=axis)
+            self.sharded = DevicePackedPGESearch(
+                mesh, self.index, axis=axis,
+                base_epsilon=self.config.epsilon)
         else:
             from gnnpe_tpu.parallel.query import ShardedPGESearch
             self.sharded = ShardedPGESearch(
                 mesh, self.vertices.labels, self.vertices.degrees,
-                self.group, self.label_group, axis=axis)
+                self.group, self.label_group, axis=axis,
+                base_epsilon=self.config.epsilon)
         return self
 
     def online(self, query_graph: CSRGraph, engine: str = "auto",
@@ -352,13 +354,15 @@ class PGEEngine:
             elif getattr(self, "index", None) is not None:
                 cands = self.index.search(qv.labels, qv.degrees,
                                           q_group, q_label_group,
-                                          list(range(nq)))
+                                          list(range(nq)),
+                                          epsilon=self.config.epsilon)
             else:
                 cands = pge_candidates(
                     self.vertices.labels, self.vertices.degrees,
                     self.group, self.label_group,
                     qv.labels, qv.degrees, q_group, q_label_group,
-                    q_vertex_ids=list(range(nq)))
+                    q_vertex_ids=list(range(nq)),
+                    epsilon=self.config.epsilon)
         if preverify:
             with t.stage("preverify"):
                 from gnnpe_tpu.match.preverify import semijoin_prune
@@ -401,12 +405,13 @@ class PGEEngine:
         if self.sharded is not None:
             cands_all = self.sharded.search(ql, qd, qgrp, qlg, ids)
         elif getattr(self, "index", None) is not None:
-            cands_all = self.index.search(ql, qd, qgrp, qlg, ids)
+            cands_all = self.index.search(ql, qd, qgrp, qlg, ids,
+                                          epsilon=self.config.epsilon)
         else:
             cands_all = pge_candidates(
                 self.vertices.labels, self.vertices.degrees,
                 self.group, self.label_group, ql, qd, qgrp, qlg,
-                q_vertex_ids=ids)
+                q_vertex_ids=ids, epsilon=self.config.epsilon)
         per_query, b = [], 0
         for n in sizes:
             per_query.append(cands_all[b:b + n])

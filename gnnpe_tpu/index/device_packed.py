@@ -488,13 +488,15 @@ class DevicePackedPGESearch:
     custom.h:197-290).  Same two-phase fused search; the leaf output
     directly indexes data vertices (order[rows])."""
 
-    def __init__(self, mesh, index, axis: str = "graph"):
+    def __init__(self, mesh, index, axis: str = "graph",
+                 base_epsilon: float = 1e-6):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.mesh = mesh
         self.axis = axis
+        self.base_epsilon = base_epsilon
         self.block_size = b = index.block_size
         n = mesh.shape[axis]
         nb = len(index.blk_group_ub)
@@ -594,7 +596,9 @@ class DevicePackedPGESearch:
         def limbs(x):
             return tuple(jnp.asarray(padq(a, np.float32(0.0)))
                          for a in split3(x))
-        qglo3 = limbs(q_group[:, 0, :])
+        # ε slack applied on host in f64 before limb-splitting (see
+        # match/filter.py:pge_candidates on the strict-compare bug).
+        qglo3 = limbs(q_group[:, 0, :] - self.base_epsilon)
         qllo3 = limbs(q_label_group[:, 0, :])
         qlhi3 = limbs(q_label_group[:, 1, :])
 

@@ -212,13 +212,17 @@ class PGEPackedIndex:
             blk_labels=blockify(labels_s, -1)[:, 0])
 
     def search(self, q_labels, q_degrees, q_group, q_label_group,
-               q_vertex_ids) -> List[np.ndarray]:
-        """Pruned PGE search, identical output to pge_candidates."""
+               q_vertex_ids, epsilon: float = 0.0) -> List[np.ndarray]:
+        """Pruned PGE search, identical output to pge_candidates
+        (including its ``epsilon`` dominance slack — see
+        match/filter.py:pge_candidates for why strict compares
+        falsely prune)."""
         out: List[np.ndarray] = []
         v = len(self.order)
         for j, _ in enumerate(q_vertex_ids):
             bm = ((self.blk_max_deg >= q_degrees[j]) &
-                  (self.blk_group_ub >= q_group[j, 0, :]).all(-1) &
+                  (self.blk_group_ub >= q_group[j, 0, :] - epsilon
+                   ).all(-1) &
                   ((self.blk_lgroup_hi >= q_label_group[j, 0, :]) &
                    (self.blk_lgroup_lo <= q_label_group[j, 1, :])
                    ).all(-1))
@@ -236,7 +240,8 @@ class PGEPackedIndex:
                     q_label_group[j, 0, :]) &
                    (self.label_group[rows, 0, :] <=
                     q_label_group[j, 1, :])).all(-1) &
-                  (self.group[rows, 1, :] >= q_group[j, 0, :]).all(-1))
+                  (self.group[rows, 1, :] >= q_group[j, 0, :] - epsilon
+                   ).all(-1))
             out.append(np.sort(self.order[rows[ok]]).astype(np.int64))
         return out
 

@@ -85,13 +85,23 @@ def pge_candidates(d_labels: np.ndarray, d_degrees: np.ndarray,
                    q_labels: np.ndarray, q_degrees: np.ndarray,
                    q_group: np.ndarray, q_label_group: np.ndarray,
                    q_vertex_ids: Sequence[int],
-                   data_vertex_ids: Optional[np.ndarray] = None
-                   ) -> List[np.ndarray]:
+                   data_vertex_ids: Optional[np.ndarray] = None,
+                   epsilon: float = 0.0) -> List[np.ndarray]:
     """PGE vertex-level filter chain (GNN-PGE custom.h:330-372).
 
     Groups are f64[N, 2, pde_dim] ([:,0]=lower, [:,1]=upper).
     Returns sorted candidate arrays per query vertex id.
-    """
+
+    epsilon: slack on the path-group dominance compare.  The
+    reference's compare is strict (custom.h:357-363, no ε) and has a
+    latent false-prune: a true match u↦v with identical neighbor-label
+    multisets sums vde in different adjacency orders, so the two f64
+    sums differ by ULPs and the strict ≥ fails (measured at vde_dim=4
+    on Test/: a 10,880-match query answered 0).  At the reference's
+    only shipped config (e=2, its query) the bug never fires, so
+    ε=0 reproduces reference behavior; the engine passes the PE
+    epsilon (1e-6, custom.h:43), which keeps candidates supersets —
+    refinement verifies, so answers stay exact."""
     n_data = len(d_labels)
     ids = (np.arange(n_data, dtype=np.int64)
            if data_vertex_ids is None else np.asarray(data_vertex_ids))
@@ -102,7 +112,9 @@ def pge_candidates(d_labels: np.ndarray, d_degrees: np.ndarray,
         # v.ub < q.lb or v.lb > q.ub in any dim.
         overlap = ((d_label_group[:, 1, :] >= q_label_group[j, 0, :]) &
                    (d_label_group[:, 0, :] <= q_label_group[j, 1, :])).all(-1)
-        # path-group lower-bound dominance (custom.h:357-363, strict, no ε):
-        dom = (d_group[:, 1, :] >= q_group[j, 0, :]).all(-1)
+        # path-group lower-bound dominance (custom.h:357-363; ε slack
+        # per docstring — strict reference compare falsely prunes
+        # order-of-summation ULP differences):
+        dom = (d_group[:, 1, :] >= q_group[j, 0, :] - epsilon).all(-1)
         out.append(np.sort(ids[ok & overlap & dom]))
     return out

@@ -193,8 +193,10 @@ class ShardedPGESearch:
     axis.  The filter output *is* the per-query-vertex candidate mask
     (one entry per data vertex), so the shard outputs concatenate
     directly — no scatter needed.  Decisions are bit-exact f64 via
-    limb compares (the reference's PGE leaf test has no epsilon,
-    GNN-PGE custom.h:330-372)."""
+    limb compares against ``q_group_lo - base_epsilon`` (slack applied
+    on host, in f64, before limb-splitting — see
+    match/filter.py:pge_candidates for why the reference's strict
+    compare, GNN-PGE custom.h:330-372, falsely prunes)."""
 
     def __init__(self, mesh, labels, degrees, group, label_group,
                  axis: str = "graph", base_epsilon: float = 1e-6):
@@ -204,6 +206,7 @@ class ShardedPGESearch:
 
         self.mesh = mesh
         self.axis = axis
+        self.base_epsilon = base_epsilon
         self.num_vertices = len(labels)
         n = mesh.shape[axis]
         shard = NamedSharding(mesh, P(axis))
@@ -250,7 +253,7 @@ class ShardedPGESearch:
         mask = np.asarray(self._mask_fn(
             self.d_labels, self.d_degrees,
             self.d_ghi3, self.d_llo3, self.d_lhi3,
-            ql, qd, limbs(q_group[:, 0, :]),
+            ql, qd, limbs(q_group[:, 0, :] - self.base_epsilon),
             limbs(q_label_group[:, 0, :]),
             limbs(q_label_group[:, 1, :])))
         mask = mask[:q, :self.num_vertices]

@@ -196,3 +196,28 @@ def test_pge_matches_live_vf2_oracle(seed):
     eng = PGEEngine(PGEConfig.from_cli(l=1, e=2, p=2), g).offline()
     got = eng.online(q, engine="python").answer_count
     assert got == want, (got, want)
+
+
+def test_pge_epsilon_fixes_ulp_false_prune(data_graph):
+    """Regression: the reference's strict PGE dominance compare
+    (GNN-PGE custom.h:357-363, no ε) falsely prunes true matches when
+    a query/data vertex pair has the same neighbor-label multiset
+    summed in different adjacency orders (f64 ULP difference).  First
+    observed at vde_dim=4: a 10,880-match query answered 0.  The
+    engine's ε=1e-6 slack (same constant PE uses, custom.h:43) keeps
+    candidates supersets; refinement keeps answers exact."""
+    from gnnpe_tpu.config import PGEConfig
+    from gnnpe_tpu.engine import PGEEngine
+    from gnnpe_tpu.io.datasets import sample_query
+
+    q = sample_query(data_graph, 8, tree=True, seed=10_000 + 19)
+    want = None
+    for e in (2, 4):
+        for packed in (False, True):
+            eng = PGEEngine(PGEConfig.from_cli(l=2, e=e, p=5),
+                            data_graph).offline(packed=packed)
+            got = eng.online(q).answer_count
+            if want is None:
+                want = got  # e=2 never hit the bug; VF2-checked 10880
+            assert got == want, (e, packed, got, want)
+    assert want == 10880
