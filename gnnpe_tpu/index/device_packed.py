@@ -146,6 +146,13 @@ class DevicePackedPESearch:
         block quality, never correctness), block-summary fold, and
         entry layout all run on device; the host supplies only the
         O(V·D) conservative f32 tables and the exact limb tables.
+
+        Layout: every O(P)-row array is TRANSPOSED — [l, P] vids,
+        [l·d, P] embedding gathers — because TPU tiling pads the
+        minor dimension to 128 lanes: an s32[P, 3] at the dblp rung
+        (P = 6.1e7) would tile to 31 GB (measured OOM), while
+        s32[3, P] tiles to ~0.73 GB.  Only per-block summaries
+        ([NB, l·d], NB ≈ P/512) keep row-major layout.
         """
         import jax
         import jax.numpy as jnp
@@ -194,35 +201,49 @@ class DevicePackedPESearch:
             for a in split3(vertices.vde))
         self._tables = (labv, degv) + limb_tables
 
-        @jax.jit
-        def build(pj):
-            labp = jnp.take(labv, pj.reshape(-1)).reshape(p, l)
-            s32 = jnp.take(vde_up, pj.reshape(-1), axis=0).reshape(
-                p, l * d).sum(1)
-            order = jnp.lexsort(
-                (-s32,) + tuple(labp[:, j] for j in range(l - 1, -1, -1)))
-            vs = jnp.take(pj, order, axis=0)
-            vs = jnp.concatenate(
-                [vs, jnp.full((ent_rows - p, l), v, jnp.int32)])
-            pdeu = jnp.take(vde_up, vs.reshape(-1), axis=0).reshape(
-                ent_rows, l * d)
-            xlu = jnp.take(x_up, vs.reshape(-1), axis=0).reshape(
-                ent_rows, l * d)
-            xld = jnp.take(x_dn, vs.reshape(-1), axis=0).reshape(
-                ent_rows, l * d)
-            degp = jnp.take(degv, vs.reshape(-1)).reshape(ent_rows, l)
-            blk_ub = pdeu.reshape(nb_pad, b, l * d).max(1)
-            blk_lhi = xlu.reshape(nb_pad, b, l * d).max(1)
-            blk_llo = xld.reshape(nb_pad, b, l * d).min(1)
-            blk_deg = degp.reshape(nb_pad, b, l).max(1)
-            return vs, blk_ub, blk_llo, blk_lhi, blk_deg
+        vde_up_t = vde_up.T       # [d, V+1]
+        x_up_t = x_up.T
+        x_dn_t = x_dn.T
 
-        vs, blk_ub, blk_llo, blk_lhi, blk_deg = build(
-            jnp.asarray(paths.astype(np.int32)))
+        @jax.jit
+        def build(pj_t):
+            # pj_t: int32[l, P].  All O(P) intermediates stay [*, P].
+            lab_cols = [jnp.take(labv, pj_t[j]) for j in range(l)]
+            s32 = jnp.zeros((p,), jnp.float32)
+            for j in range(l):
+                s32 = s32 + jnp.take(vde_up_t, pj_t[j], axis=1).sum(0)
+            order = jnp.lexsort((-s32,) + tuple(lab_cols[::-1]))
+            vs_t = jnp.take(pj_t, order, axis=1)
+            vs_t = jnp.concatenate(
+                [vs_t, jnp.full((l, ent_rows - p), v, jnp.int32)],
+                axis=1)
+
+            def fold(table_t, op):
+                # concat per-position gathers → [l·d, ent_rows], fold
+                # blocks of b → [nb_pad, l·d] (small, row-major OK).
+                g = jnp.concatenate(
+                    [jnp.take(table_t, vs_t[j], axis=1)
+                     for j in range(l)], axis=0)
+                return op(g.reshape(l * d, nb_pad, b), -1).T
+
+            blk_ub = fold(vde_up_t, jnp.max)
+            blk_lhi = fold(x_up_t, jnp.max)
+            blk_llo = fold(x_dn_t, jnp.min)
+            degp = jnp.stack([jnp.take(degv, vs_t[j])
+                              for j in range(l)])     # [l, ent_rows]
+            blk_deg = degp.reshape(l, nb_pad, b).max(-1).T
+            return vs_t, blk_ub, blk_llo, blk_lhi, blk_deg
+
+        vs_t, blk_ub, blk_llo, blk_lhi, blk_deg = build(
+            jnp.asarray(np.ascontiguousarray(
+                paths.T.astype(np.int32))))
 
         shard = NamedSharding(mesh, P(axis))
         zeros_like = lambda a: jnp.zeros_like(a)
-        self.d_vids = jax.device_put(vs, shard)
+        # vids stored transposed [l, ent_rows], sharded on the row
+        # (entry) axis — see layout note in the docstring.
+        self.d_vids = jax.device_put(vs_t,
+                                     NamedSharding(mesh, P(None, axis)))
         self.d_labels = self.d_degrees = self.d_pde3 = None
         # Single-f32 conservative summaries as (value, 0, 0) limbs.
         put = lambda a: jax.device_put(a, shard)
@@ -233,7 +254,7 @@ class DevicePackedPESearch:
         self.b_lhi3 = (put(blk_lhi), put(zeros_like(blk_lhi)),
                        put(zeros_like(blk_lhi)))
         self.b_deg = put(blk_deg)
-        self._host_vids = np.asarray(vs)
+        self._host_vids = np.ascontiguousarray(np.asarray(vs_t).T)
         self._phase1 = None
         self._phase2 = {}
         self._phase2_bitmap = {}
@@ -301,13 +322,13 @@ class DevicePackedPESearch:
 
         @functools.partial(
             jax.shard_map, mesh=self.mesh,
-            in_specs=(P(self.axis), P(self.axis), P(self.axis),
+            in_specs=(P(None, self.axis), P(self.axis), P(self.axis),
                       P(), P(), (P(),) * 3),
             out_specs=P(None, self.axis))
         def run(dv, sel, bqm, ql, qd, qt3):
             rows = (sel[0][:, None] * b
                     + jnp.arange(b, dtype=jnp.int32)[None]).reshape(-1)
-            gv = jnp.take(dv, rows, axis=0)          # [K·B, L]
+            gv = jnp.take(dv, rows, axis=1).T        # [K·B, L]
             flat = gv.reshape(-1)
             gl = jnp.take(labv, flat).reshape(gv.shape)
             gd = jnp.take(degv, flat).reshape(gv.shape)
@@ -332,13 +353,13 @@ class DevicePackedPESearch:
 
         @functools.partial(
             jax.shard_map, mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(axis),
+            in_specs=(P(None, axis), P(axis), P(axis),
                       P(), P(), (P(),) * 3, P()),
             out_specs=P())
         def run(dv, sel, bqm, ql, qd, qt3, qv):
             rows = (sel[0][:, None] * b
                     + jnp.arange(b, dtype=jnp.int32)[None]).reshape(-1)
-            gv = jnp.take(dv, rows, axis=0)
+            gv = jnp.take(dv, rows, axis=1).T
             flat = gv.reshape(-1)
             gl = jnp.take(labv, flat).reshape(gv.shape)
             gd = jnp.take(degv, flat).reshape(gv.shape)
