@@ -29,19 +29,15 @@ import time
 
 import numpy as np
 
-# Persistent XLA compilation cache: the axon relay pays ~20-40 s per
-# distinct compiled shape; the ladder reuses shapes across rungs/runs.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), ".cache", "jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+from gnnpe_tpu.utils.compile_cache import enable_persistent_cache
 
 
-def run_rung(name: str, queries: int = 20, query_size: int = 8,
+def run_rung(name: str, queries: int = 50, query_size: int = 8,
              seed: int = 0, block_size: int = 512,
-             pe_max_paths: int = 400_000_000) -> list:
+             pe_max_paths: int = 400_000_000,
+             max_answers: int = 100_000) -> list:
     import jax
+    enable_persistent_cache()
     from gnnpe_tpu.config import PEConfig, PGEConfig
     from gnnpe_tpu.engine import PEEngine, PGEEngine
     from gnnpe_tpu.graph.partition import degree_sorted_nodes
@@ -65,7 +61,7 @@ def run_rung(name: str, queries: int = 20, query_size: int = 8,
 
     # ---------------- PE ------------------------------------------------
     pe_l = 2 if est_paths3 <= pe_max_paths else 1
-    cfg = PEConfig.from_cli(l=pe_l, e=2, p=5)
+    cfg = PEConfig.from_cli(l=pe_l, e=2, p=5, n=max_answers)
     eng = PEEngine(cfg, g)
     t0 = time.time()
     eng.offline()
@@ -78,11 +74,14 @@ def run_rung(name: str, queries: int = 20, query_size: int = 8,
     eng.sharded = DevicePackedPESearch.build_from_paths(
         mesh, eng.paths, eng.vertices, block_size=block_size)
     build_s = time.time() - t0
+    warm_s = eng.sharded.warm()
     index_bytes = int(eng.sharded._host_vids.nbytes
                       + sum(np.asarray(a).nbytes
                             for a in eng.sharded.b_ub3)
                       + sum(np.asarray(a).nbytes
-                            for a in eng.sharded.b_llo3) * 2
+                            for a in eng.sharded.b_llo3)
+                      + sum(np.asarray(a).nbytes
+                            for a in eng.sharded.b_lhi3)
                       + np.asarray(eng.sharded.b_deg).nbytes)
     lat = []
     answers = []
@@ -110,7 +109,10 @@ def run_rung(name: str, queries: int = 20, query_size: int = 8,
         rung=name, variant="pe", l=pe_l, v=g.num_vertices,
         e=g.num_edges, paths=num_paths,
         enumerate_s=round(enum_s, 2), index_build_s=round(build_s, 2),
-        index_bytes=index_bytes,
+        build_phase_ms=eng.sharded.build_phase_ms,
+        warm_s=round(warm_s, 2),
+        index_bytes=index_bytes, queries=len(lat),
+        max_answers=max_answers,
         online_p50_ms=round(float(np.median(lat)), 1),
         online_p90_ms=round(float(np.percentile(lat, 90)), 1),
         mean_answers=round(float(np.mean(answers)), 1),
@@ -122,31 +124,36 @@ def run_rung(name: str, queries: int = 20, query_size: int = 8,
     del eng
 
     # ---------------- PGE -----------------------------------------------
-    cfg2 = PGEConfig.from_cli(l=2, e=2, p=5)
+    cfg2 = PGEConfig.from_cli(l=2, e=2, p=5, n=max_answers)
     eng2 = PGEEngine(cfg2, g)
     t0 = time.time()
     eng2.offline(device=True, packed=True)
     pge_off_s = time.time() - t0
     eng2.attach_mesh(mesh, packed=True)
+    warm2_s = eng2.sharded.warm()
     lat2 = []
     answers2 = []
+    skipped = 0
     for q in qs:
         t0 = time.time()
         try:
             r = eng2.online(q)
         except ValueError:      # query vertex with no path: skip (ref
-            continue            # reads uninitialized memory here)
+            skipped += 1        # reads uninitialized memory here)
+            continue
         lat2.append((time.time() - t0) * 1e3)
         answers2.append(r.answer_count)
     rows.append(dict(
         rung=name, variant="pge", l=2, v=g.num_vertices, e=g.num_edges,
-        offline_s=round(pge_off_s, 2),
+        offline_s=round(pge_off_s, 2), warm_s=round(warm2_s, 2),
         index_bytes=int(eng2.group.nbytes + eng2.label_group.nbytes),
+        queries=len(lat2), skipped=skipped, max_answers=max_answers,
         online_p50_ms=round(float(np.median(lat2)), 1),
         online_p90_ms=round(float(np.percentile(lat2, 90)), 1),
         mean_answers=round(float(np.mean(answers2)), 1)))
     print(f"[ladder:{name}] PGE l=2: offline={pge_off_s:.1f}s "
-          f"p50={np.median(lat2):.0f}ms", file=sys.stderr)
+          f"p50={np.median(lat2):.0f}ms skipped={skipped}",
+          file=sys.stderr)
     return rows
 
 
@@ -154,16 +161,20 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="dblp",
                     help="ladder rung name or comma list")
-    ap.add_argument("--queries", type=int, default=20)
+    ap.add_argument("--queries", type=int, default=50)
     ap.add_argument("--query-size", type=int, default=8)
     ap.add_argument("--out", default="BENCH_LADDER.json")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-answers", type=int, default=100_000,
+                    help="refinement emission cap (ref -n flag); the "
+                         "dblp rung has queries with ~2.5e9 matches")
     args = ap.parse_args(argv)
     all_rows = []
     for name in args.dataset.split(","):
         all_rows.extend(run_rung(name.strip(), queries=args.queries,
                                  query_size=args.query_size,
-                                 seed=args.seed))
+                                 seed=args.seed,
+                                 max_answers=args.max_answers))
     with open(args.out, "a") as f:
         for r in all_rows:
             f.write(json.dumps(r) + "\n")

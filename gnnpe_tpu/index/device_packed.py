@@ -52,7 +52,12 @@ def _bucket(n: int, lo: int = 1) -> int:
     return max(lo, 1 << max(0, (n - 1).bit_length()))
 
 
-_K_FLOOR = 16      # surviving-block bucket floor (one shape ≤ 16 blks)
+# Fixed surviving-block chunk: phase 2 always gathers exactly
+# K_CHUNK blocks per dispatch and the host loops over chunks, so the
+# compiled shape never depends on how many blocks a query survives.
+# (Round-2's per-query power-of-two K caused a fresh ~10-40 s relay
+# compile on nearly every dblp query — the 42 s online p50.)
+_K_CHUNK = 64
 
 
 def _pad_to(arr: np.ndarray, rows: int, fill) -> np.ndarray:
@@ -131,6 +136,7 @@ class DevicePackedPESearch:
         self.b_deg = jax.device_put(jnp.asarray(blk_deg), shard)
 
         self._host_vids = vids            # for host-union extraction
+        self.build_phase_ms = None
         self._phase1 = None
         self._phase2 = {}
         self._phase2_bitmap = {}
@@ -140,12 +146,28 @@ class DevicePackedPESearch:
                          block_size: int = 512, axis: str = "graph",
                          base_epsilon: float = 1e-6
                          ) -> "DevicePackedPESearch":
-        """Device-side index build (table mode — see class docstring).
+        """Hybrid index build (table mode — see class docstring).
 
-        Sort (label signature, then -Σpde f32 — the key only shapes
-        block quality, never correctness), block-summary fold, and
-        entry layout all run on device; the host supplies only the
-        O(V·D) conservative f32 tables and the exact limb tables.
+        Division of labor (re-measured for round 3; the round-2 877 s
+        yeast build was ~99% relay compile overhead, ~0.1 s compute):
+          * SORT on HOST — one composite int64 key per path, (label
+            signature mod 2^30) << 32 | order-preserving bits of
+            -Σpde f32, through np.argsort (20 s at the dblp rung's
+            6.7e7 paths).  On-device sorting is a dead end through the
+            relay: the 4-key lexsort comparator compiled in ~120 s,
+            int64 keys EXECUTE ~3000× slower on v5e's 32-bit compare
+            units (301 s vs 0.11 s at 2^19 rows), and even a cached
+            int32 sort program pays a 40-300 s remote load lottery on
+            first execution per process.  The key only shapes block
+            quality, never correctness.
+          * FOLD on DEVICE — block summaries are pure gathers+
+            reductions over the sorted vid table (a small program:
+            ~1.3 s compile, fast load), and the sorted table must be
+            uploaded anyway since it IS the leaf-phase storage.
+          * P and V are padded to power-of-two buckets so every rung /
+            rerun with similar scale reuses the same compiled shape,
+            and the persistent compilation cache is enabled so each
+            shape compiles once per machine, not once per process.
 
         Layout: every O(P)-row array is TRANSPOSED — [l, P] vids,
         [l·d, P] embedding gathers — because TPU tiling pads the
@@ -153,10 +175,15 @@ class DevicePackedPESearch:
         (P = 6.1e7) would tile to 31 GB (measured OOM), while
         s32[3, P] tiles to ~0.73 GB.  Only per-block summaries
         ([NB, l·d], NB ≈ P/512) keep row-major layout.
+
+        Phase timings land in ``self.build_phase_ms``.
         """
+        import time as _time
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
+        from gnnpe_tpu.utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
 
         self = cls.__new__(cls)
         self.table_mode = True
@@ -164,18 +191,27 @@ class DevicePackedPESearch:
         self.axis = axis
         self.base_epsilon = base_epsilon
         self.block_size = b = block_size
+        assert b & (b - 1) == 0, f"block_size must be a power of 2: {b}"
         v = vertices.num_vertices
         d = vertices.dim
         p, l = paths.shape
         self.num_entries = p
         n = mesh.shape[axis]
-        nb = max(1, -(-p // b))
+        # Shape buckets: pad the path count to a power of two ≥ b and
+        # the vertex tables likewise, so compiled shapes are shared
+        # across datasets of similar scale and across runs.
+        p_pad = _bucket(max(p, b), lo=b)
+        v_pad = _bucket(v + 1)
+        nb = p_pad // b
         self.nb_local = nbl = max(1, -(-nb // n))
         nb_pad = n * nbl
         self.num_blocks = nb
         ent_rows = nb_pad * b
 
-        # Conservative f32 value tables (outward-rounded) + sentinel V.
+        t0 = _time.perf_counter()
+
+        # Conservative f32 value tables (outward-rounded); rows
+        # [v, v_pad) are the sentinel (label -2, degree 0, vde 0).
         def outward(x, up: bool):
             u = x.astype(np.float32)
             if up:
@@ -184,40 +220,69 @@ class DevicePackedPESearch:
             else:
                 bump = u.astype(np.float64) > x
                 u[bump] = np.nextafter(u[bump], np.float32("-inf"))
-            return np.concatenate([u, np.zeros((1, x.shape[1]),
-                                               np.float32)])
+            return np.concatenate(
+                [u, np.zeros((v_pad - len(u), x.shape[1]), np.float32)])
 
-        vde_up = jnp.asarray(outward(vertices.vde, True))
-        x_up = jnp.asarray(outward(vertices.x, True))
-        x_dn = jnp.asarray(outward(vertices.x, False))
-        labv = jnp.asarray(np.concatenate(
-            [vertices.labels.astype(np.int32), [-2]]))
-        degv = jnp.asarray(np.concatenate(
-            [vertices.degrees.astype(np.int32), [0]]))
-        # Exact limb tables for the leaf test (sentinel row = 0).
+        # All tables stay HOST numpy here and are passed to jits as
+        # ARGUMENTS (or closured as numpy): lowering a jaxpr whose
+        # constants are committed *device* arrays takes minutes through
+        # the relay (measured 146 s for one closured 16 KB take table;
+        # 0.2 s as an argument).
+        vde_up = outward(vertices.vde, True)
+        x_up = outward(vertices.x, True)
+        x_dn = outward(vertices.x, False)
+        labv = np.concatenate(
+            [vertices.labels.astype(np.int32),
+             np.full(v_pad - v, -2, np.int32)])
+        degv = np.concatenate(
+            [vertices.degrees.astype(np.int32),
+             np.zeros(v_pad - v, np.int32)])
+        # Exact limb tables for the leaf test (sentinel rows = 0).
         limb_tables = tuple(
             jnp.asarray(np.concatenate(
-                [a, np.zeros((1, d), np.float32)]))
+                [a, np.zeros((v_pad - v, d), np.float32)]))
             for a in split3(vertices.vde))
-        self._tables = (labv, degv) + limb_tables
+        self._tables = (jnp.asarray(labv), jnp.asarray(degv)) \
+            + limb_tables
 
-        vde_up_t = vde_up.T       # [d, V+1]
-        x_up_t = x_up.T
-        x_dn_t = x_dn.T
+        vde_up_t = np.ascontiguousarray(vde_up.T)   # [d, v_pad]
+        x_up_t = np.ascontiguousarray(x_up.T)
+        x_dn_t = np.ascontiguousarray(x_dn.T)
+        t_tables = _time.perf_counter() - t0
 
-        @jax.jit
-        def build(pj_t):
-            # pj_t: int32[l, P].  All O(P) intermediates stay [*, P].
-            lab_cols = [jnp.take(labv, pj_t[j]) for j in range(l)]
-            s32 = jnp.zeros((p,), jnp.float32)
-            for j in range(l):
-                s32 = s32 + jnp.take(vde_up_t, pj_t[j], axis=1).sum(0)
-            order = jnp.lexsort((-s32,) + tuple(lab_cols[::-1]))
-            vs_t = jnp.take(pj_t, order, axis=1)
-            vs_t = jnp.concatenate(
-                [vs_t, jnp.full((l, ent_rows - p), v, jnp.int32)],
-                axis=1)
+        # ---- host sort: composite int64 key, one stable argsort -----
+        t0 = _time.perf_counter()
+        # Signature wraps mod 2^30 when L^l overflows — that only
+        # mixes labels within blocks (wider summaries, never wrong
+        # candidates).
+        sig_radix = np.int64(int(vertices.labels.max(initial=0)) + 3)
+        sig = np.zeros(p, np.int64)
+        s32 = np.zeros(p, np.float32)
+        lab_all = vertices.labels.astype(np.int64)
+        for j in range(l):
+            col = paths[:, j]
+            sig = (sig * sig_radix + (lab_all[col] + 2)) & ((1 << 30) - 1)
+            s32 = s32 + vde_up[col].sum(axis=1)
+        # Order-preserving f32→u32 bit transform of the ascending key
+        # -Σpde: flip all bits for negatives, set the sign bit else.
+        bi = (-s32).view(np.int32).astype(np.int64) & 0xFFFFFFFF
+        u = np.where(bi >= (1 << 31), 0xFFFFFFFF - bi, bi | (1 << 31))
+        key = (sig << 32) | u
+        order_h = np.argsort(key, kind="stable")
+        t_sort = _time.perf_counter() - t0
 
+        t0 = _time.perf_counter()
+        # Sorted vid table, padded with the sentinel vertex v; this is
+        # both the host extraction table and (transposed) the device
+        # leaf storage — no device→host fetch needed at all.
+        hv = np.full((ent_rows, l), v, np.int32)
+        hv[:p] = paths[order_h]
+        self._host_vids = hv
+        vs_t_h = np.ascontiguousarray(hv.T)
+        t_host = _time.perf_counter() - t0
+
+        # ---- device fold: block summaries (small program) -----------
+        def fold_all(vs_t, labv, degv, vde_up_t, x_up_t, x_dn_t):
             def fold(table_t, op):
                 # concat per-position gathers → [l·d, ent_rows], fold
                 # blocks of b → [nb_pad, l·d] (small, row-major OK).
@@ -232,20 +297,28 @@ class DevicePackedPESearch:
             degp = jnp.stack([jnp.take(degv, vs_t[j])
                               for j in range(l)])     # [l, ent_rows]
             blk_deg = degp.reshape(l, nb_pad, b).max(-1).T
-            return vs_t, blk_ub, blk_llo, blk_lhi, blk_deg
+            return blk_ub, blk_llo, blk_lhi, blk_deg
 
-        vs_t, blk_ub, blk_llo, blk_lhi, blk_deg = build(
-            jnp.asarray(np.ascontiguousarray(
-                paths.T.astype(np.int32))))
+        t0 = _time.perf_counter()
+        vids_sharding = NamedSharding(mesh, P(None, axis))
+        sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+        compiled = jax.jit(fold_all).lower(
+            jax.ShapeDtypeStruct(vs_t_h.shape, vs_t_h.dtype,
+                                 sharding=vids_sharding),
+            sds(labv), sds(degv), sds(vde_up_t),
+            sds(x_up_t), sds(x_dn_t)).compile()
+        t_compile = _time.perf_counter() - t0
 
-        shard = NamedSharding(mesh, P(axis))
-        zeros_like = lambda a: jnp.zeros_like(a)
+        t0 = _time.perf_counter()
         # vids stored transposed [l, ent_rows], sharded on the row
         # (entry) axis — see layout note in the docstring.
-        self.d_vids = jax.device_put(vs_t,
-                                     NamedSharding(mesh, P(None, axis)))
+        self.d_vids = jax.device_put(vs_t_h, vids_sharding)
+        blk_ub, blk_llo, blk_lhi, blk_deg = compiled(
+            self.d_vids, labv, degv, vde_up_t, x_up_t, x_dn_t)
         self.d_labels = self.d_degrees = self.d_pde3 = None
         # Single-f32 conservative summaries as (value, 0, 0) limbs.
+        shard = NamedSharding(mesh, P(axis))
+        zeros_like = lambda a: jnp.zeros_like(a)
         put = lambda a: jax.device_put(a, shard)
         self.b_ub3 = (put(blk_ub), put(zeros_like(blk_ub)),
                       put(zeros_like(blk_ub)))
@@ -254,7 +327,17 @@ class DevicePackedPESearch:
         self.b_lhi3 = (put(blk_lhi), put(zeros_like(blk_lhi)),
                        put(zeros_like(blk_lhi)))
         self.b_deg = put(blk_deg)
-        self._host_vids = np.ascontiguousarray(np.asarray(vs_t).T)
+        # Force materialization so the recorded time is honest (the
+        # relay's block_until_ready does not actually block).
+        float(self.b_deg[0, 0])
+        t_fold = _time.perf_counter() - t0
+        self.build_phase_ms = {
+            "tables": round(t_tables * 1e3, 1),
+            "host_sort": round(t_sort * 1e3, 1),
+            "host_vids": round(t_host * 1e3, 1),
+            "compile": round(t_compile * 1e3, 1),
+            "upload_fold": round(t_fold * 1e3, 1),
+        }
         self._phase1 = None
         self._phase2 = {}
         self._phase2_bitmap = {}
@@ -314,18 +397,21 @@ class DevicePackedPESearch:
         return jax.jit(run)
 
     def _build_phase2_tbl(self, k: int):
+        # Vertex tables are ARGUMENTS (replicated specs), never jit
+        # closures: closured device arrays cost minutes to lower
+        # through the relay (see build_from_paths).
         import jax
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
         b = self.block_size
-        labv, degv, vh, vm, vl = self._tables
 
         @functools.partial(
             jax.shard_map, mesh=self.mesh,
             in_specs=(P(None, self.axis), P(self.axis), P(self.axis),
-                      P(), P(), (P(),) * 3),
+                      P(), P(), (P(),) * 3, (P(),) * 5),
             out_specs=P(None, self.axis))
-        def run(dv, sel, bqm, ql, qd, qt3):
+        def run(dv, sel, bqm, ql, qd, qt3, tables):
+            labv, degv, vh, vm, vl = tables
             rows = (sel[0][:, None] * b
                     + jnp.arange(b, dtype=jnp.int32)[None]).reshape(-1)
             gv = jnp.take(dv, rows, axis=1).T        # [K·B, L]
@@ -349,14 +435,14 @@ class DevicePackedPESearch:
         from jax.sharding import PartitionSpec as P
         b = self.block_size
         axis = self.axis
-        labv, degv, vh, vm, vl = self._tables
 
         @functools.partial(
             jax.shard_map, mesh=self.mesh,
             in_specs=(P(None, axis), P(axis), P(axis),
-                      P(), P(), (P(),) * 3, P()),
+                      P(), P(), (P(),) * 3, P(), (P(),) * 5),
             out_specs=P())
-        def run(dv, sel, bqm, ql, qd, qt3, qv):
+        def run(dv, sel, bqm, ql, qd, qt3, qv, tables):
+            labv, degv, vh, vm, vl = tables
             rows = (sel[0][:, None] * b
                     + jnp.arange(b, dtype=jnp.int32)[None]).reshape(-1)
             gv = jnp.take(dv, rows, axis=1).T
@@ -411,6 +497,47 @@ class DevicePackedPESearch:
 
         return jax.jit(run)
 
+    def warm(self, qbs=(8, 16)) -> float:
+        """Precompile phase 1 + phase 2 for the given query buckets
+        with one synthetic dispatch each (results discarded), so no
+        live query pays a relay compile.  With the persistent cache
+        this costs ~nothing after the first run on a machine.  Returns
+        the wall seconds spent."""
+        import time as _time
+        import jax.numpy as jnp
+        t0 = _time.perf_counter()
+        n = self.mesh.shape[self.axis]
+        k = min(_K_CHUNK, _bucket(self.nb_local))
+        dp = int(self.b_ub3[0].shape[-1])
+        if self.table_mode:
+            l = int(self.d_vids.shape[0])
+        else:
+            l = int(self._host_vids.shape[1])
+        if self._phase1 is None:
+            self._phase1 = self._build_phase1()
+        if k not in self._phase2:
+            self._phase2[k] = (self._build_phase2_tbl(k)
+                               if self.table_mode
+                               else self._build_phase2(k))
+        for qb in qbs:
+            z = lambda *s: jnp.zeros(s, jnp.float32)
+            qt3 = (z(qb, dp),) * 3
+            qd = jnp.zeros((qb, l), jnp.int32)
+            np.asarray(self._phase1(self.b_ub3, self.b_llo3,
+                                    self.b_lhi3, self.b_deg,
+                                    qt3, qt3, qd))
+            sel = jnp.zeros((n, k), jnp.int32)
+            bqm = jnp.zeros((n, k, qb), bool)
+            ql = jnp.full((qb, l), -1, jnp.int32)
+            if self.table_mode:
+                np.asarray(self._phase2[k](
+                    self.d_vids, sel, bqm, ql, qd, qt3, self._tables))
+            else:
+                np.asarray(self._phase2[k](
+                    self.d_labels, self.d_degrees, self.d_pde3,
+                    self.d_vids, sel, bqm, ql, qd, qt3))
+        return _time.perf_counter() - t0
+
     # -- public search -------------------------------------------------
     def search(self, query_pde, plan_rows: np.ndarray,
                num_query_vertices: int, union: str = "host"
@@ -438,7 +565,9 @@ class DevicePackedPESearch:
             self.b_ub3, self.b_llo3, self.b_lhi3, self.b_deg,
             qt3, qlbl3, qd))[:q]          # [q, NB_pad]
 
-        # Host: per-shard surviving-block lists, common power-of-two K.
+        # Host: per-shard surviving-block lists, processed in chunks of
+        # a FIXED K so the compiled phase-2 shape is query-independent
+        # (the host loop varies, the program does not).
         n = self.mesh.shape[self.axis]
         nbl = self.nb_local
         any_blk = bmask.any(axis=0)
@@ -448,16 +577,20 @@ class DevicePackedPESearch:
         if kmax == 0:
             return [np.zeros(0, dtype=np.int64)
                     for _ in range(num_query_vertices)]
-        k = _bucket(min(kmax, nbl), lo=min(_K_FLOOR, nbl))
-        # Pad selections with the shard's last block id; gate kills it.
-        sel = np.full((n, k), 0, dtype=np.int32)
-        bqm = np.zeros((n, k, qb), dtype=bool)
-        for s, ss in enumerate(sel_per):
-            sel[s, :len(ss)] = ss
-            bqm[s, :len(ss), :q] = bmask[:, s * nbl + ss].T
+        k = min(_K_CHUNK, _bucket(nbl))
+        num_chunks = -(-kmax // k)
+        b = self.block_size
 
-        selj = jnp.asarray(sel)
-        bqmj = jnp.asarray(bqm)
+        def chunk_inputs(c):
+            # Pad selections with block id 0; the bqm gate kills it.
+            sel = np.zeros((n, k), dtype=np.int32)
+            bqm = np.zeros((n, k, qb), dtype=bool)
+            for s, ss in enumerate(sel_per):
+                part = ss[c * k:(c + 1) * k]
+                sel[s, :len(part)] = part
+                bqm[s, :len(part), :q] = bmask[:, s * nbl + part].T
+            return sel, jnp.asarray(sel), jnp.asarray(bqm)
+
         if union == "device":
             q_vids = padq(query_pde.vids[rows], 0)
             l = q_vids.shape[1]
@@ -469,15 +602,19 @@ class DevicePackedPESearch:
                         k, nv, l, num_query_vertices)
                     if self.table_mode else self._build_phase2_bitmap(
                         k, nv, l, num_query_vertices))
-            if self.table_mode:
-                out = np.asarray(self._phase2_bitmap[key](
-                    self.d_vids, selj, bqmj, ql, qd, qt3,
-                    jnp.asarray(q_vids)))
-            else:
-                out = np.asarray(self._phase2_bitmap[key](
-                    self.d_labels, self.d_degrees, self.d_pde3,
-                    self.d_vids, selj, bqmj, ql, qd, qt3,
-                    jnp.asarray(q_vids)))
+            qvj = jnp.asarray(q_vids)
+            out = None
+            for c in range(num_chunks):
+                _, selj, bqmj = chunk_inputs(c)
+                if self.table_mode:
+                    part = np.asarray(self._phase2_bitmap[key](
+                        self.d_vids, selj, bqmj, ql, qd, qt3, qvj,
+                        self._tables))
+                else:
+                    part = np.asarray(self._phase2_bitmap[key](
+                        self.d_labels, self.d_degrees, self.d_pde3,
+                        self.d_vids, selj, bqmj, ql, qd, qt3, qvj))
+                out = part if out is None else np.maximum(out, part)
             return [np.nonzero(out[i])[0].astype(np.int64)
                     for i in range(num_query_vertices)]
 
@@ -485,18 +622,23 @@ class DevicePackedPESearch:
             self._phase2[k] = (self._build_phase2_tbl(k)
                                if self.table_mode
                                else self._build_phase2(k))
-        if self.table_mode:
-            mask = np.asarray(self._phase2[k](
-                self.d_vids, selj, bqmj, ql, qd, qt3))[:q]
-        else:
-            mask = np.asarray(self._phase2[k](
-                self.d_labels, self.d_degrees, self.d_pde3, self.d_vids,
-                selj, bqmj, ql, qd, qt3))[:q]      # [q, n*k*b]
-        # Map mask columns back to global entry rows for extraction.
-        b = self.block_size
-        gcols = np.concatenate(
-            [((s * nbl + sel[s])[:, None] * b
-              + np.arange(b)[None]).reshape(-1) for s in range(n)])
+        masks, gcols_parts = [], []
+        for c in range(num_chunks):
+            sel, selj, bqmj = chunk_inputs(c)
+            if self.table_mode:
+                masks.append(np.asarray(self._phase2[k](
+                    self.d_vids, selj, bqmj, ql, qd, qt3,
+                    self._tables))[:q])
+            else:
+                masks.append(np.asarray(self._phase2[k](
+                    self.d_labels, self.d_degrees, self.d_pde3,
+                    self.d_vids, selj, bqmj, ql, qd, qt3))[:q])
+            # Map mask columns back to global entry rows.
+            gcols_parts.append(np.concatenate(
+                [((s * nbl + sel[s])[:, None] * b
+                  + np.arange(b)[None]).reshape(-1) for s in range(n)]))
+        mask = np.concatenate(masks, axis=1)
+        gcols = np.concatenate(gcols_parts)
         return extract_candidates(mask, self._host_vids[gcols],
                                   query_pde.vids[rows],
                                   num_query_vertices)
@@ -602,6 +744,34 @@ class DevicePackedPGESearch:
 
         return jax.jit(run)
 
+    def warm(self, qbs=(8, 16)) -> float:
+        """Precompile phase 1 + phase 2 (see DevicePackedPESearch.warm)."""
+        import time as _time
+        import jax.numpy as jnp
+        t0 = _time.perf_counter()
+        n = self.mesh.shape[self.axis]
+        k = min(_K_CHUNK, _bucket(self.nb_local))
+        dp = int(self.b_gub3[0].shape[-1])
+        if self._phase1 is None:
+            self._phase1 = self._build_phase1()
+        if k not in self._phase2:
+            self._phase2[k] = self._build_phase2(k)
+        for qb in qbs:
+            z = lambda *s: jnp.zeros(s, jnp.float32)
+            t3 = (z(qb, dp),) * 3
+            qd = jnp.zeros((qb,), jnp.int32)
+            np.asarray(self._phase1(self.b_gub3, self.b_llo3,
+                                    self.b_lhi3, self.b_deg,
+                                    t3, t3, t3, qd))
+            sel = jnp.zeros((n, k), jnp.int32)
+            bqm = jnp.zeros((n, k, qb), bool)
+            ql = jnp.full((qb,), -1, jnp.int32)
+            np.asarray(self._phase2[k](
+                self.d_labels, self.d_degrees, self.d_ghi3,
+                self.d_llo3, self.d_lhi3, sel, bqm,
+                ql, qd, t3, t3, t3))
+        return _time.perf_counter() - t0
+
     def search(self, q_labels, q_degrees, q_group, q_label_group,
                q_vertex_ids) -> List[np.ndarray]:
         import jax.numpy as jnp
@@ -637,26 +807,33 @@ class DevicePackedPGESearch:
         kmax = max((len(s) for s in sel_per), default=0)
         if kmax == 0:
             return [np.zeros(0, dtype=np.int64) for _ in q_vertex_ids]
-        k = _bucket(min(kmax, nbl), lo=min(_K_FLOOR, nbl))
-        sel = np.zeros((n, k), dtype=np.int32)
-        bqm = np.zeros((n, k, qb), dtype=bool)
-        for s, ss in enumerate(sel_per):
-            sel[s, :len(ss)] = ss
-            bqm[s, :len(ss), :q] = bmask[:, s * nbl + ss].T
-
+        # Fixed-K chunking: query-independent compiled shape (see the
+        # PE search — the host loop varies, the program does not).
+        k = min(_K_CHUNK, _bucket(nbl))
+        num_chunks = -(-kmax // k)
+        b = self.block_size
         if k not in self._phase2:
             self._phase2[k] = self._build_phase2(k)
-        mask = np.asarray(self._phase2[k](
-            self.d_labels, self.d_degrees, self.d_ghi3, self.d_llo3,
-            self.d_lhi3, jnp.asarray(sel), jnp.asarray(bqm),
-            ql, qd, qglo3, qllo3, qlhi3))[:q]
-        b = self.block_size
-        gcols = np.concatenate(
-            [((s * nbl + sel[s])[:, None] * b
-              + np.arange(b)[None]).reshape(-1) for s in range(n)])
+        masks, gcols_parts = [], []
+        for c in range(num_chunks):
+            sel = np.zeros((n, k), dtype=np.int32)
+            bqm = np.zeros((n, k, qb), dtype=bool)
+            for s, ss in enumerate(sel_per):
+                part = ss[c * k:(c + 1) * k]
+                sel[s, :len(part)] = part
+                bqm[s, :len(part), :q] = bmask[:, s * nbl + part].T
+            masks.append(np.asarray(self._phase2[k](
+                self.d_labels, self.d_degrees, self.d_ghi3, self.d_llo3,
+                self.d_lhi3, jnp.asarray(sel), jnp.asarray(bqm),
+                ql, qd, qglo3, qllo3, qlhi3))[:q])
+            gcols_parts.append(np.concatenate(
+                [((s * nbl + sel[s])[:, None] * b
+                  + np.arange(b)[None]).reshape(-1) for s in range(n)]))
+        mask = np.concatenate(masks, axis=1)
+        gcols = np.concatenate(gcols_parts)
         vid_cols = self._order[gcols]
         out: List[np.ndarray] = []
         for j, _ in enumerate(q_vertex_ids):
             hit = vid_cols[mask[j]]
-            out.append(np.sort(hit[hit >= 0]).astype(np.int64))
+            out.append(np.unique(hit[hit >= 0]).astype(np.int64))
         return out
