@@ -71,21 +71,90 @@ def distributed_neighbor_sum(mesh: Mesh, src_shards, dst_shards, x,
 def make_distributed_train_step(model: PathGNN, mesh: Mesh,
                                 optimizer, num_vertices: int,
                                 graph_axis: str = "graph",
-                                batch_axis: Optional[str] = "batch"):
-    """Build a jit-compiled SPMD training step.
+                                batch_axis: Optional[str] = "batch",
+                                backend: str = "psum",
+                                plan=None):
+    """Build a jit-compiled SPMD training step with a pluggable
+    aggregation backend — one seam, three implementations, identical
+    numerics (VERDICT r2 item 10):
 
-    Sharding layout:
-      params, opt_state, labels — replicated
-      src/dst arc shards        — graph axis
-      paths, subpath_pairs      — batch axis (DP).  Pair indices are
-        SHARD-LOCAL: pairs[i] on a device references rows of that
-        device's path shard (global indices would read across shards).
+      * ``"psum"`` — edge-parallel baseline: arcs sharded, x
+        replicated, every hop psums a full [V, D] buffer.  Exact,
+        O(V·D) collective volume per hop.
+      * ``"halo"`` — vertex-partitioned (``parallel.halo.HaloPlan``):
+        per-hop all_to_all of boundary rows only (O(cut·D)), local
+        arcs via segment_sum.
+      * ``"binned_halo"`` — the production path
+        (``parallel.binned_halo.BinnedHaloPlan``): same exchange, but
+        local/halo arcs aggregate through the scatter-free binned-ELL
+        tables with MXU hub matmuls, and the all_to_all is issued
+        before the local gathers so it overlaps them.
 
-    The step: forward (edge-parallel aggregation with psum over the
-    graph axis) → dominance loss on the local path batch → grads psum
-    over every mesh axis → optimizer update (identical on all devices).
+    Halo backends take ``plan`` (pre-built for this graph+shard count)
+    and keep vertex features SHARDED through every layer; one
+    all_gather at the end serves the path readout.  Step signature for
+    every backend:
+        step(params, labels, src_shards, dst_shards, paths, pairs,
+             opt_state) -> (params, opt_state, loss)
+    (halo backends ignore src/dst shards — pass None).
+
+    Sharding layout: params/opt_state/labels replicated; arc shards on
+    the graph axis; paths/subpath_pairs on the batch axis (pair
+    indices are SHARD-LOCAL rows of that device's path shard).
     """
-    axes = [a for a in (graph_axis, batch_axis) if a and a in mesh.axis_names]
+    axes = [a for a in (graph_axis, batch_axis)
+            if a and a in mesh.axis_names]
+
+    if backend != "psum":
+        assert plan is not None, f"backend {backend!r} needs plan="
+        assert plan.num_shards == mesh.shape[graph_axis]
+        own_pad = plan.own_pad
+        dev_fn = plan.make_device_fn(graph_axis)
+        agg_args = plan.device_args()
+        arg_specs = plan.arg_specs(graph_axis)
+        own_vids = shard_along(mesh, jnp.asarray(plan.own_vertex_ids()),
+                               graph_axis)
+        rows_v = replicate(mesh, jnp.asarray(plan.row_of_vertex()))
+
+        def loss_fn_h(params, labels, ovids, rvert, aargs, paths,
+                      pairs):
+            lab_own = jnp.take(labels, ovids[0])
+            h_own = model.vertex_embeddings(
+                params, lab_own, None, None, own_pad,
+                aggregate=lambda h: dev_fn(h, aargs))
+            h_all = jax.lax.all_gather(h_own, graph_axis, axis=0)
+            h_full = jnp.take(h_all.reshape(-1, h_own.shape[-1]),
+                              rvert, axis=0)
+            pde = jnp.take(h_full, paths.reshape(-1), axis=0).reshape(
+                paths.shape[0], -1)
+            return _dominance_pair_loss(pde, pairs)
+
+        in_specs = (P(), P(), P(graph_axis), P(), arg_specs,
+                    P(batch_axis) if batch_axis else P(),
+                    P(batch_axis) if batch_axis else P(), P())
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=in_specs, out_specs=(P(), P(), P()))
+        def step_h(params, labels, ovids, rvert, aargs, paths, pairs,
+                   opt_state):
+            loss, grads = jax.value_and_grad(loss_fn_h)(
+                params, labels, ovids, rvert, aargs, paths, pairs)
+            for a in axes:
+                grads = jax.lax.pmean(grads, a)
+                loss = jax.lax.pmean(loss, a)
+            updates, opt_state = optimizer.update(grads, opt_state,
+                                                  params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        jitted = jax.jit(step_h)
+
+        def step(params, labels, src_shards, dst_shards, paths, pairs,
+                 opt_state):
+            return jitted(params, labels, own_vids, rows_v, agg_args,
+                          paths, pairs, opt_state)
+
+        return step
 
     def loss_fn(params, labels, src_shard, dst_shard, paths, pairs):
         agg = lambda h: jax.lax.psum(
@@ -115,16 +184,20 @@ def make_distributed_train_step(model: PathGNN, mesh: Mesh,
     return jax.jit(step)
 
 
-def _sharded_dominance_loss(model, params, labels, aggregate,
-                            num_vertices, paths, pairs):
-    """dominance_loss with an injected (collective) aggregation."""
-    pde = model.path_embeddings(params, labels, None, None, num_vertices,
-                                paths, aggregate=aggregate)
+def _dominance_pair_loss(pde, pairs):
     pi = jnp.take(pde, pairs[:, 0], axis=0)
     pj = jnp.take(pde, pairs[:, 1], axis=0)
     violation = jnp.maximum(pi - pj, 0.0)
     anti_collapse = jnp.maximum(1.0 - jnp.mean(pde, axis=0), 0.0)
     return jnp.mean(violation ** 2) + 0.01 * jnp.mean(anti_collapse ** 2)
+
+
+def _sharded_dominance_loss(model, params, labels, aggregate,
+                            num_vertices, paths, pairs):
+    """dominance_loss with an injected (collective) aggregation."""
+    pde = model.path_embeddings(params, labels, None, None, num_vertices,
+                                paths, aggregate=aggregate)
+    return _dominance_pair_loss(pde, pairs)
 
 
 def replicate(mesh: Mesh, tree):

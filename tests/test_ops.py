@@ -266,3 +266,28 @@ def test_symmetric_aggregate_gradient(rand_graph):
                              c.astype(np.float64))
     np.testing.assert_allclose(np.asarray(lay.unpermute(g)), want_g,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_rect_binned_hub_forced():
+    """Rectangular binned layout with the MXU hub path ENGAGED (a
+    skewed source distribution forces hub selection) must equal the
+    dense aggregation — regression for the round-3 hub-rows-not-in-
+    order-space bug."""
+    import jax.numpy as jnp
+    from gnnpe_tpu.ops.rect import build_binned_rect
+    rng = np.random.RandomState(3)
+    nd, ns, na = 200, 64, 5000
+    dst = np.sort(rng.randint(0, nd, na))
+    src = rng.zipf(1.3, na) % ns          # heavy repeat of few sources
+    src = src.astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(np.bincount(dst,
+                                                      minlength=nd))])
+    x = rng.rand(ns, 8).astype(np.float32)
+    lay = build_binned_rect(offs, src, ns, hub_matmul=True,
+                            hub_precision="f32")
+    assert lay.hub_rows is not None and len(lay.hub_rows) > 0
+    assert lay.num_hub_arcs > 0
+    out = np.asarray(lay.apply(jnp.asarray(x)))[lay.rank]
+    want = np.zeros((nd, 8))
+    np.add.at(want, dst, x[src])
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)

@@ -246,3 +246,115 @@ def test_device_built_index_parity(data_graph, query_graph, golden_meta,
     assert r.answer_count == golden_meta["pe"]["answer_number"]
     assert [len(c) for c in r.candidates] == \
         golden_meta["pe"]["candidate_sizes"]
+
+
+# ---------------------------------------------------------------------
+# Binned halo: scatter-free sharded aggregation (VERDICT r2 item 2)
+
+def _random_csr(rng, v, e):
+    src = rng.randint(0, v, e).astype(np.int32)
+    dst = rng.randint(0, v, e).astype(np.int32)
+    order = np.argsort(dst, kind="stable")
+    deg = np.bincount(dst, minlength=v)
+    offsets = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    return offsets, src[order]
+
+
+@pytest.mark.parametrize("n,hub", [(1, True), (4, False), (8, True)])
+def test_binned_rect_matches_dense(n, hub):
+    """Rectangular binned layout (per-shard padded + stacked) equals
+    the dense aggregation row-for-row."""
+    from gnnpe_tpu.ops.spmm import neighbor_sum_np
+    from gnnpe_tpu.parallel.binned_halo import BinnedHaloPlan
+    rng = np.random.RandomState(7)
+    offsets, neighbors = _random_csr(rng, 300, 2500)
+    membership = rng.randint(0, n, 300)
+    plan = BinnedHaloPlan.build(offsets, neighbors, membership, n,
+                                hub_matmul=hub)
+    mesh = make_mesh(n, axes=("graph",), shape=(n,))
+    x = rng.rand(300, 16).astype(np.float32)
+    agg = plan.make_aggregate(mesh)
+    out = plan.unshard_features(
+        np.asarray(agg(jnp.asarray(plan.shard_features(x)))))
+    want = neighbor_sum_np(offsets, neighbors, x.astype(np.float64))
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+    # Scale sanity: with >1 shard some arcs must actually cross.
+    if n > 1:
+        assert plan.num_halo_arcs > 0
+    assert plan.num_local_arcs + plan.num_halo_arcs == 2500
+
+
+def test_halo_plan_vectorized_matches_reference_semantics():
+    """The vectorized HaloPlan.build must produce an exact aggregation
+    (equality with dense is the semantic contract)."""
+    from gnnpe_tpu.ops.spmm import neighbor_sum_np
+    from gnnpe_tpu.parallel.halo import HaloPlan
+    rng = np.random.RandomState(11)
+    offsets, neighbors = _random_csr(rng, 200, 1500)
+    membership = rng.randint(0, 8, 200)
+    plan = HaloPlan.build(offsets, neighbors, membership, 8)
+    mesh = make_mesh(8, axes=("graph",), shape=(8,))
+    x = rng.rand(200, 8).astype(np.float32)
+    agg = plan.make_aggregate(mesh)
+    out = plan.unshard_features(
+        np.asarray(agg(jnp.asarray(plan.shard_features(x)))))
+    want = neighbor_sum_np(offsets, neighbors, x.astype(np.float64))
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_train_step_backend_equality(toy):
+    """One seam, three backends: psum / halo / binned_halo must agree
+    on loss and updated params from the same init (VERDICT item 10)."""
+    from gnnpe_tpu.graph.partition import partition_graph
+    from gnnpe_tpu.parallel.binned_halo import BinnedHaloPlan
+    from gnnpe_tpu.parallel.halo import HaloPlan
+
+    n = 4
+    mesh = make_mesh(n, axes=("graph",), shape=(n,))
+    model = PathGNN(dim=8, num_layers=2, labels_count=6,
+                    activation="softplus")
+    params = model.init(jax.random.key(0), labels_count=6)
+    optimizer = optax.sgd(1e-2)
+    opt_state = optimizer.init(params)
+    src, dst = toy.coo()
+    membership = partition_graph(toy, n)
+
+    rng = np.random.RandomState(0)
+    paths = rng.randint(0, toy.num_vertices, size=(32, 3)).astype(
+        np.int32)
+    pairs = rng.randint(0, 32 // n, size=(32, 2)).astype(np.int32)
+    labels_d = replicate(mesh, jnp.asarray(toy.labels))
+    paths_d = shard_along(mesh, jnp.asarray(paths), "graph")
+    pairs_d = shard_along(mesh, jnp.asarray(pairs), "graph")
+
+    results = {}
+    for backend in ("psum", "halo", "binned_halo"):
+        if backend == "psum":
+            step = make_distributed_train_step(
+                model, mesh, optimizer, toy.num_vertices,
+                batch_axis="graph")
+            ss, ds = shard_edges(src, dst, n)
+            sd = shard_along(mesh, jnp.asarray(ss), "graph")
+            dd = shard_along(mesh, jnp.asarray(ds), "graph")
+        else:
+            plan = (HaloPlan if backend == "halo"
+                    else BinnedHaloPlan).build(
+                toy.offsets, toy.neighbors, membership, n)
+            step = make_distributed_train_step(
+                model, mesh, optimizer, toy.num_vertices,
+                batch_axis="graph", backend=backend, plan=plan)
+            sd = dd = None
+        p_d = replicate(mesh, params)
+        o_d = replicate(mesh, opt_state)
+        p2, o2, loss = step(p_d, labels_d, sd, dd, paths_d, pairs_d,
+                            o_d)
+        results[backend] = (float(loss), jax.tree.map(np.asarray, p2))
+
+    base_loss, base_params = results["psum"]
+    for backend in ("halo", "binned_halo"):
+        loss, p2 = results[backend]
+        assert abs(loss - base_loss) < 1e-5, (backend, loss, base_loss)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-5),
+            base_params, p2)
