@@ -126,6 +126,18 @@ def bench_aggregation(num_vertices=100_000, num_edges=800_000,
         from gnnpe_tpu.ops.ell import build_ell
         layout_u = build_ell(offs, src, width=8, level2_width=8)
         agg = layout_u.apply
+    elif implementation == "binned_halo":
+        # The sharded production layout on a 1-shard mesh: measures
+        # what the distributed path costs per chip (VERDICT r2 item 2
+        # asked for within ~15% of the unsharded binned number).
+        from gnnpe_tpu.parallel.binned_halo import BinnedHaloPlan
+        from gnnpe_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(1, axes=("graph",), shape=(1,))
+        plan = BinnedHaloPlan.build(
+            offs, src, np.zeros(num_vertices, np.int64), 1)
+        agg3 = plan.make_aggregate(mesh)
+        x = jnp.asarray(plan.shard_features(np.asarray(x)))
+        agg = agg3
     elif implementation == "binned":
         # Degree-binned relabeled layout: the layer loop runs in the
         # permuted vertex space; boundary permutes amortize across
@@ -219,13 +231,17 @@ def bench_query_latency():
 
 def main(argv=None):
     import argparse
+    from gnnpe_tpu.utils.compile_cache import enable_persistent_cache
     from gnnpe_tpu.utils.profiling import MetricsLog, trace
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--metrics", default="bench_metrics.jsonl",
                     help="JSON-lines metrics file ('' disables)")
     ap.add_argument("--trace", default="",
                     help="capture a jax.profiler trace of the "
                          "aggregation bench into this directory")
+    ap.add_argument("--skip-halo", action="store_true",
+                    help="skip the 1-shard binned_halo comparison")
     args = ap.parse_args(argv)
     log = MetricsLog(args.metrics or None)
     if args.trace:
@@ -235,6 +251,20 @@ def main(argv=None):
         edges_per_sec, frac, dt = bench_aggregation()
     log.log("aggregation", edges_per_sec=round(edges_per_sec),
             step_ms=round(dt * 1e3, 3), roofline_frac=round(frac, 4))
+    if not args.skip_halo:
+        try:
+            halo_eps, _, halo_dt = bench_aggregation(
+                implementation="binned_halo")
+            print(f"[bench] binned_halo (1-shard sharded layout) "
+                  f"{halo_eps/1e6:.0f} M edges/s = "
+                  f"{halo_eps/edges_per_sec:.2f}x of unsharded binned",
+                  file=sys.stderr)
+            log.log("binned_halo_1shard",
+                    edges_per_sec=round(halo_eps),
+                    vs_binned=round(halo_eps / edges_per_sec, 4))
+        except Exception as e:
+            print(f"[bench] binned_halo bench failed: {e}",
+                  file=sys.stderr)
     try:
         pe_ms, pge_ms = bench_query_latency()
         print(f"[bench] PE online {pe_ms:.1f} ms (ref warm ~3100 ms); "

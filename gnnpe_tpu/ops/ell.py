@@ -41,6 +41,8 @@ class HierarchicalEll:
     levels: List[EllLayout]
     num_vertices: int
     num_slots: int          # total gather slots (padding overhead metric)
+    slot_arc: np.ndarray = None   # int32[level-1 slots]: CSR arc index
+    #                               per slot, -1 pad (ops/sddmm.py)
 
     def apply(self, x, *, dtype=None):
         """Aggregate neighbor features: returns [V, D]."""
@@ -77,6 +79,8 @@ def build_ell(offsets: np.ndarray, neighbors: np.ndarray,
     chunk_row = c_of_v_start[arc_v] + arc_pos // width
     slot = arc_pos % width
     tbl1[chunk_row, slot] = neighbors
+    slot_arc = np.full(tbl1.size, -1, dtype=np.int32)
+    slot_arc[chunk_row * width + slot] = np.arange(len(neighbors))
 
     levels = [EllLayout(tbl1)]
     slots = tbl1.size
@@ -112,7 +116,7 @@ def build_ell(offsets: np.ndarray, neighbors: np.ndarray,
         cur_start = sub_start
 
     return HierarchicalEll(levels=levels, num_vertices=num_v,
-                           num_slots=int(slots))
+                           num_slots=int(slots), slot_arc=slot_arc)
 
 
 def ell_neighbor_sum(layout: HierarchicalEll, x):
@@ -262,28 +266,12 @@ class BinnedEll:
 
 
 def _device_constants():
-    """(hbm_bytes_per_s, bf16_flops_per_s, gather_s_per_row) for the
-    first visible accelerator; conservative CPU numbers otherwise.
-    Gather rate: measured 5.2e8 rows/s on v5e at D=128 (BASELINE.md);
-    other chips scaled by HBM bandwidth ratio (the gather engine is
-    bandwidth-fed even when row-count-bound)."""
-    try:
-        import jax
-        kind = getattr(jax.devices()[0], "device_kind", "").lower()
-    except Exception:  # pragma: no cover - no backend at build time
-        kind = ""
-    v5e = (819e9, 197e12, 1.93e-9)
-    if "v5 lite" in kind or "v5e" in kind:
-        return v5e
-    if "v5p" in kind:
-        return 2765e9, 459e12, 1.93e-9 * 819 / 2765
-    if "v4" in kind:
-        return 1228e9, 275e12, 1.93e-9 * 819 / 1228
-    if "v6" in kind or "trillium" in kind:
-        return 1640e9, 918e12, 1.93e-9 * 819 / 1640
-    if "tpu" in kind:
-        return v5e
-    return 50e9, 1e12, 2e-9  # CPU fallback
+    """(hbm_bytes_per_s, bf16_flops_per_s, gather_s_per_row) —
+    MEASURED once per machine via utils.device_probe (micro-probes
+    with the paired-difference harness), with the round-2 table as a
+    fallback (VERDICT r2 item 9: no more hardcoded per-kind tuples)."""
+    from gnnpe_tpu.utils.device_probe import device_constants
+    return device_constants()
 
 
 def _select_hubs(num_v: int, neighbors: np.ndarray, feature_dim: int,

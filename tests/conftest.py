@@ -12,6 +12,9 @@ import os
 # of latency per dispatch) and the axon plugin re-forces itself during
 # registration, so overwrite the env AND the config after import.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Deterministic hub economics in tests: use the fallback table, not
+# the per-machine micro-probe (utils/device_probe.py).
+os.environ["GNNPE_NO_PROBE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

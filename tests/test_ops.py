@@ -291,3 +291,67 @@ def test_rect_binned_hub_forced():
     want = np.zeros((nd, 8))
     np.add.at(want, dst, x[src])
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sddmm_attention_matches_dense():
+    """SDDMM scores, segment softmax, and weighted aggregation equal
+    the dense per-vertex reference (all scatter-free on device)."""
+    import jax.numpy as jnp
+    from gnnpe_tpu.ops.ell import build_ell
+    from gnnpe_tpu.ops.sddmm import (arc_endpoints, attention_aggregate,
+                                     sddmm, segment_softmax,
+                                     weighted_apply)
+    rng = np.random.RandomState(0)
+    v, e = 120, 900
+    dst = np.sort(rng.randint(0, v, e))
+    src = rng.randint(0, v, e).astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(np.bincount(dst,
+                                                      minlength=v))])
+    layout = build_ell(offs, src, width=4, level2_width=4)
+    d = 8
+    xk = rng.rand(v, d).astype(np.float32)
+    xq = rng.rand(v, d).astype(np.float32)
+    xv = rng.rand(v, d).astype(np.float32)
+    dst_arc = arc_endpoints(offs)
+
+    s = np.asarray(sddmm(jnp.asarray(src), jnp.asarray(dst_arc),
+                         jnp.asarray(xk), jnp.asarray(xq)))
+    want_s = (xk[src] * xq[dst_arc]).sum(-1)
+    np.testing.assert_allclose(s, want_s, rtol=1e-5, atol=1e-6)
+
+    w = np.asarray(segment_softmax(layout, jnp.asarray(s),
+                                   jnp.asarray(dst_arc)))
+    # dense softmax reference per destination
+    want_w = np.zeros_like(want_s)
+    for u in range(v):
+        lo, hi = offs[u], offs[u + 1]
+        if hi > lo:
+            ex = np.exp(want_s[lo:hi] - want_s[lo:hi].max())
+            want_w[lo:hi] = ex / ex.sum()
+    np.testing.assert_allclose(w, want_w, rtol=1e-4, atol=1e-6)
+
+    out = np.asarray(weighted_apply(layout, jnp.asarray(xv),
+                                    jnp.asarray(w)))
+    want = np.zeros((v, d))
+    np.add.at(want, dst_arc, want_w[:, None] * xv[src])
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+    full = np.asarray(attention_aggregate(
+        layout, jnp.asarray(src), jnp.asarray(dst_arc),
+        jnp.asarray(xk), jnp.asarray(xq), jnp.asarray(xv)))
+    np.testing.assert_allclose(full, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_blocked_spmm_interpret():
+    """The blocked-DMA experiment stays correct (interpret mode)."""
+    import jax.numpy as jnp
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from experiments.pallas_blocked_spmm import blocked_gather_sum
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(64, 8).astype(np.float32))
+    tbl = rng.randint(0, 64, (128, 4)).astype(np.int32)
+    got = np.asarray(blocked_gather_sum(x, tbl, tile_r=64,
+                                        interpret=True))
+    want = np.asarray(x)[tbl.reshape(-1)].reshape(128, 4, 8).sum(1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
