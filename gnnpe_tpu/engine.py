@@ -212,11 +212,15 @@ class PEEngine:
             cands_all = self.index.search(big, plan_all, base,
                                           epsilon=self.config.epsilon)
         else:
-            # Flat fallback: chunk plan rows so the bool[Q, P] pair
-            # mask stays within ~256 MB regardless of batch size.
+            # Flat fallback: chunk plan rows so peak host memory stays
+            # ~256 MB.  pe_pair_mask materializes [Q, P, L·D]-class
+            # broadcast intermediates, so the budget divides by the
+            # pde width, not just P (ADVICE r2).
             cands_all = [np.zeros(0, dtype=np.int64)
                          for _ in range(base)]
-            step = max(1, int(256e6 // max(self.data_pde.num_paths, 1)))
+            step = max(1, int(256e6 // max(
+                self.data_pde.num_paths
+                * self.data_pde.pde.shape[1], 1)))
             for lo in range(0, big.num_paths, step):
                 part = pe_candidates(
                     self.data_pde, big,

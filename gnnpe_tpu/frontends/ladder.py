@@ -35,7 +35,8 @@ from gnnpe_tpu.utils.compile_cache import enable_persistent_cache
 def run_rung(name: str, queries: int = 50, query_size: int = 8,
              seed: int = 0, block_size: int = 512,
              pe_max_paths: int = 400_000_000,
-             max_answers: int = 100_000) -> list:
+             max_answers: int = 100_000,
+             pipelined: bool = True) -> list:
     import jax
     enable_persistent_cache()
     from gnnpe_tpu.config import PEConfig, PGEConfig
@@ -63,17 +64,27 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
     pe_l = 2 if est_paths3 <= pe_max_paths else 1
     cfg = PEConfig.from_cli(l=pe_l, e=2, p=5, n=max_answers)
     eng = PEEngine(cfg, g)
-    t0 = time.time()
-    eng.offline()
-    enum_s = time.time() - t0
-    num_paths = len(eng.paths)
-    t0 = time.time()
     eng.vertices = eng.embedder(g)
+    pipe_timings = None
+    if pipelined:
+        from gnnpe_tpu.paths.pipeline import offline_build_pipelined
+        t0 = time.time()
+        eng.paths, eng.sharded, pipe_timings = offline_build_pipelined(
+            g, degree_sorted_nodes(g), cfg.path_length, eng.vertices,
+            mesh, block_size=block_size)
+        build_s = time.time() - t0
+        enum_s = pipe_timings["enum_keys_s"]
+    else:
+        t0 = time.time()
+        eng.offline()
+        enum_s = time.time() - t0
+        t0 = time.time()
+        eng.sharded = DevicePackedPESearch.build_from_paths(
+            mesh, eng.paths, eng.vertices, block_size=block_size)
+        build_s = time.time() - t0
+    num_paths = len(eng.paths)
     from gnnpe_tpu.embed.pde import gen_pde
     eng.data_pde = gen_pde(eng.vertices, eng.paths)
-    eng.sharded = DevicePackedPESearch.build_from_paths(
-        mesh, eng.paths, eng.vertices, block_size=block_size)
-    build_s = time.time() - t0
     warm_s = eng.sharded.warm()
     index_bytes = int(eng.sharded._host_vids.nbytes
                       + sum(np.asarray(a).nbytes
@@ -110,6 +121,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         e=g.num_edges, paths=num_paths,
         enumerate_s=round(enum_s, 2), index_build_s=round(build_s, 2),
         build_phase_ms=eng.sharded.build_phase_ms,
+        pipeline=pipe_timings,
         warm_s=round(warm_s, 2),
         index_bytes=index_bytes, queries=len(lat),
         max_answers=max_answers,
@@ -168,13 +180,16 @@ def main(argv=None):
     ap.add_argument("--max-answers", type=int, default=100_000,
                     help="refinement emission cap (ref -n flag); the "
                          "dblp rung has queries with ~2.5e9 matches")
+    ap.add_argument("--sequential", action="store_true",
+                    help="disable the pipelined offline stage")
     args = ap.parse_args(argv)
     all_rows = []
     for name in args.dataset.split(","):
         all_rows.extend(run_rung(name.strip(), queries=args.queries,
                                  query_size=args.query_size,
                                  seed=args.seed,
-                                 max_answers=args.max_answers))
+                                 max_answers=args.max_answers,
+                                 pipelined=not args.sequential))
     with open(args.out, "a") as f:
         for r in all_rows:
             f.write(json.dumps(r) + "\n")

@@ -35,6 +35,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from gnnpe_tpu.match.filter import eps_threshold as _eps_threshold
+
 # Finite sentinels for pad blocks (±inf limb-splits to nan and warns;
 # ±3e38 is still outside every real embedding magnitude).
 _POS = np.float64(3e38)
@@ -66,6 +68,44 @@ def _pad_to(arr: np.ndarray, rows: int, fill) -> np.ndarray:
         return arr
     return np.concatenate(
         [arr, np.full((pad,) + arr.shape[1:], fill, arr.dtype)])
+
+
+def _outward(x: np.ndarray, up: bool, pad_rows: int = 0) -> np.ndarray:
+    """Conservatively-rounded f32 copy of an f64 table (outward nudge)
+    + optional zero pad rows."""
+    u = x.astype(np.float32)
+    if up:
+        bump = u.astype(np.float64) < x
+        u[bump] = np.nextafter(u[bump], np.float32("inf"))
+    else:
+        bump = u.astype(np.float64) > x
+        u[bump] = np.nextafter(u[bump], np.float32("-inf"))
+    if pad_rows:
+        u = np.concatenate(
+            [u, np.zeros((pad_rows, x.shape[1]), np.float32)])
+    return u
+
+
+def composite_sort_key(paths: np.ndarray, vertices) -> np.ndarray:
+    """int64[P] index sort key: (label signature mod 2^30) << 32 |
+    order-preserving bits of -Σpde f32.  Pure host numpy — chunkable,
+    GIL-releasing, and independent across path chunks, which is what
+    lets the pipelined offline stage overlap key computation with
+    enumeration (paths/pipeline.py).  The key shapes block quality
+    only, never correctness."""
+    p, l = paths.shape
+    vde_up = _outward(vertices.vde, True)
+    sig_radix = np.int64(int(vertices.labels.max(initial=0)) + 3)
+    lab_all = vertices.labels.astype(np.int64)
+    sig = np.zeros(p, np.int64)
+    s32 = np.zeros(p, np.float32)
+    for j in range(l):
+        col = paths[:, j]
+        sig = (sig * sig_radix + (lab_all[col] + 2)) & ((1 << 30) - 1)
+        s32 = s32 + vde_up[col].sum(axis=1)
+    bi = (-s32).view(np.int32).astype(np.int64) & 0xFFFFFFFF
+    u = np.where(bi >= (1 << 31), 0xFFFFFFFF - bi, bi | (1 << 31))
+    return (sig << 32) | u
 
 
 class DevicePackedPESearch:
@@ -144,7 +184,8 @@ class DevicePackedPESearch:
     @classmethod
     def build_from_paths(cls, mesh, paths: np.ndarray, vertices,
                          block_size: int = 512, axis: str = "graph",
-                         base_epsilon: float = 1e-6
+                         base_epsilon: float = 1e-6,
+                         precomputed_key=None
                          ) -> "DevicePackedPESearch":
         """Hybrid index build (table mode — see class docstring).
 
@@ -212,25 +253,14 @@ class DevicePackedPESearch:
 
         # Conservative f32 value tables (outward-rounded); rows
         # [v, v_pad) are the sentinel (label -2, degree 0, vde 0).
-        def outward(x, up: bool):
-            u = x.astype(np.float32)
-            if up:
-                bump = u.astype(np.float64) < x
-                u[bump] = np.nextafter(u[bump], np.float32("inf"))
-            else:
-                bump = u.astype(np.float64) > x
-                u[bump] = np.nextafter(u[bump], np.float32("-inf"))
-            return np.concatenate(
-                [u, np.zeros((v_pad - len(u), x.shape[1]), np.float32)])
-
         # All tables stay HOST numpy here and are passed to jits as
         # ARGUMENTS (or closured as numpy): lowering a jaxpr whose
         # constants are committed *device* arrays takes minutes through
         # the relay (measured 146 s for one closured 16 KB take table;
         # 0.2 s as an argument).
-        vde_up = outward(vertices.vde, True)
-        x_up = outward(vertices.x, True)
-        x_dn = outward(vertices.x, False)
+        vde_up = _outward(vertices.vde, True, v_pad - v)
+        x_up = _outward(vertices.x, True, v_pad - v)
+        x_dn = _outward(vertices.x, False, v_pad - v)
         labv = np.concatenate(
             [vertices.labels.astype(np.int32),
              np.full(v_pad - v, -2, np.int32)])
@@ -251,23 +281,15 @@ class DevicePackedPESearch:
         t_tables = _time.perf_counter() - t0
 
         # ---- host sort: composite int64 key, one stable argsort -----
+        # (Signature wraps mod 2^30 when L^l overflows — that only
+        # mixes labels within blocks: wider summaries, never wrong
+        # candidates.  ``precomputed_key`` lets the pipelined offline
+        # stage compute chunk keys overlapped with enumeration.)
         t0 = _time.perf_counter()
-        # Signature wraps mod 2^30 when L^l overflows — that only
-        # mixes labels within blocks (wider summaries, never wrong
-        # candidates).
-        sig_radix = np.int64(int(vertices.labels.max(initial=0)) + 3)
-        sig = np.zeros(p, np.int64)
-        s32 = np.zeros(p, np.float32)
-        lab_all = vertices.labels.astype(np.int64)
-        for j in range(l):
-            col = paths[:, j]
-            sig = (sig * sig_radix + (lab_all[col] + 2)) & ((1 << 30) - 1)
-            s32 = s32 + vde_up[col].sum(axis=1)
-        # Order-preserving f32→u32 bit transform of the ascending key
-        # -Σpde: flip all bits for negatives, set the sign bit else.
-        bi = (-s32).view(np.int32).astype(np.int64) & 0xFFFFFFFF
-        u = np.where(bi >= (1 << 31), 0xFFFFFFFF - bi, bi | (1 << 31))
-        key = (sig << 32) | u
+        key = (composite_sort_key(paths, vertices)
+               if precomputed_key is None
+               else np.asarray(precomputed_key))
+        assert len(key) == p, (len(key), p)
         order_h = np.argsort(key, kind="stable")
         t_sort = _time.perf_counter() - t0
 
@@ -553,7 +575,8 @@ class DevicePackedPESearch:
 
         ql = jnp.asarray(padq(query_pde.labels[rows], -1))
         qd = jnp.asarray(padq(query_pde.degrees[rows], 0))
-        thresh = query_pde.pde[rows] - self.base_epsilon
+        thresh = _eps_threshold(query_pde.pde[rows],
+                                self.base_epsilon)
         qt3 = tuple(jnp.asarray(padq(a, np.float32(0.0)))
                     for a in split3(thresh))
         qlbl3 = tuple(jnp.asarray(padq(a, np.float32(0.0)))
@@ -789,7 +812,8 @@ class DevicePackedPGESearch:
                          for a in split3(x))
         # ε slack applied on host in f64 before limb-splitting (see
         # match/filter.py:pge_candidates on the strict-compare bug).
-        qglo3 = limbs(q_group[:, 0, :] - self.base_epsilon)
+        qglo3 = limbs(_eps_threshold(q_group[:, 0, :],
+                                     self.base_epsilon))
         qllo3 = limbs(q_label_group[:, 0, :])
         qlhi3 = limbs(q_label_group[:, 1, :])
 

@@ -28,6 +28,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from gnnpe_tpu.match.filter import eps_threshold as _eps_threshold
+
 from gnnpe_tpu.config import EPSILON
 from gnnpe_tpu.embed.pde import PathEmbeddings
 
@@ -147,7 +149,8 @@ class PackedDominanceIndex:
             rows = np.concatenate(spans)
             ok = ((self.labels[rows] == q_labels[qi]).all(-1) &
                   (self.degrees[rows] >= q_deg[qi]).all(-1) &
-                  (self.pde[rows] >= q_pde[qi] - epsilon).all(-1))
+                  (self.pde[rows]
+                   >= _eps_threshold(q_pde[qi], epsilon)).all(-1))
             hit = rows[ok]
             if len(hit):
                 dv = self.vids[hit]
@@ -221,7 +224,8 @@ class PGEPackedIndex:
         v = len(self.order)
         for j, _ in enumerate(q_vertex_ids):
             bm = ((self.blk_max_deg >= q_degrees[j]) &
-                  (self.blk_group_ub >= q_group[j, 0, :] - epsilon
+                  (self.blk_group_ub
+                   >= _eps_threshold(q_group[j, 0, :], epsilon)
                    ).all(-1) &
                   ((self.blk_lgroup_hi >= q_label_group[j, 0, :]) &
                    (self.blk_lgroup_lo <= q_label_group[j, 1, :])
@@ -240,7 +244,8 @@ class PGEPackedIndex:
                     q_label_group[j, 0, :]) &
                    (self.label_group[rows, 0, :] <=
                     q_label_group[j, 1, :])).all(-1) &
-                  (self.group[rows, 1, :] >= q_group[j, 0, :] - epsilon
+                  (self.group[rows, 1, :]
+                   >= _eps_threshold(q_group[j, 0, :], epsilon)
                    ).all(-1))
             out.append(np.sort(self.order[rows[ok]]).astype(np.int64))
         return out

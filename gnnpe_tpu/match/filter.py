@@ -29,6 +29,20 @@ from gnnpe_tpu.config import EPSILON
 from gnnpe_tpu.embed.pde import PathEmbeddings
 
 
+def eps_threshold(q: np.ndarray, epsilon: float) -> np.ndarray:
+    """Lower dominance threshold with RELATIVE slack:
+    ``q - max(ε, ε·|q|)`` per element.  The reference's absolute
+    ε=1e-6 (custom.h:43) silently becomes a no-op once |q| exceeds
+    ~1e10 in f64 (one ULP > ε), reinstating the strict-compare false
+    prune for trained embedders with large feature scales (ADVICE
+    r2).  Relative slack can only WIDEN the candidate superset;
+    refinement keeps the final answers exact either way.  Every
+    filter path (flat, host packed, sharded, device packed) uses this
+    same helper so their candidate sets stay mutually identical."""
+    q = np.asarray(q)
+    return q - np.maximum(epsilon, epsilon * np.abs(q))
+
+
 def pe_pair_mask(data: PathEmbeddings, query: PathEmbeddings,
                  query_rows: Optional[np.ndarray] = None,
                  epsilon: float = EPSILON) -> np.ndarray:
@@ -40,8 +54,10 @@ def pe_pair_mask(data: PathEmbeddings, query: PathEmbeddings,
     q_pde = query.pde[q_idx]                # [Q, L*D]
     label_ok = (q_labels[:, None, :] == data.labels[None, :, :]).all(-1)
     degree_ok = (q_degrees[:, None, :] <= data.degrees[None, :, :]).all(-1)
-    # custom.h:422: fail iff q > d AND |q-d| > ε  ⇒ pass iff q ≤ d + ε.
-    pde_ok = (q_pde[:, None, :] <= data.pde[None, :, :] + epsilon).all(-1)
+    # custom.h:422: fail iff q > d AND |q-d| > ε  ⇒ pass iff q - ε ≤ d
+    # (relative slack; see eps_threshold).
+    pde_ok = (eps_threshold(q_pde, epsilon)[:, None, :]
+              <= data.pde[None, :, :]).all(-1)
     return label_ok & degree_ok & pde_ok
 
 
@@ -115,6 +131,7 @@ def pge_candidates(d_labels: np.ndarray, d_degrees: np.ndarray,
         # path-group lower-bound dominance (custom.h:357-363; ε slack
         # per docstring — strict reference compare falsely prunes
         # order-of-summation ULP differences):
-        dom = (d_group[:, 1, :] >= q_group[j, 0, :] - epsilon).all(-1)
+        dom = (d_group[:, 1, :]
+               >= eps_threshold(q_group[j, 0, :], epsilon)).all(-1)
         out.append(np.sort(ids[ok & overlap & dom]))
     return out

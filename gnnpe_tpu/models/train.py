@@ -210,30 +210,37 @@ def fit(model: PathGNN, graph: CSRGraph, paths: np.ndarray,
     use_neg = len(neg_all) > 0
     paths_j = jnp.asarray(paths.astype(np.int32))
 
-    def step_fn(params, opt_state, pairs, neg):
+    def step_fn(params, opt_state, pairs, neg, flag):
         loss, grads = jax.value_and_grad(
             lambda p: dominance_loss(
                 model, p, labels, srcj, dstj, graph.num_vertices,
                 paths_j, pairs, aggregate=aggregate,
                 negative_pairs=neg if use_neg else None,
                 neg_margin=neg_margin))(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # flag=0 steps are padding (see below): params AND optimizer
+        # state stay exactly untouched.
+        sel = lambda a, b: jnp.where(flag, a, b)
+        return (jax.tree.map(sel, new_params, params),
+                jax.tree.map(sel, new_opt, opt_state), loss)
 
-    # Steps run in lax.scan chunks of ≤50 inside ONE dispatch each:
-    # through the axon relay a per-step dispatch costs ~1 s of
-    # round-trip latency (500-step runs took 10+ min); scanning cuts
-    # dispatches 50x with identical math (batches pre-drawn from the
-    # same RandomState stream).
+    # Steps run in lax.scan chunks of exactly ``chunk`` inside ONE
+    # dispatch each: through the axon relay a per-step dispatch costs
+    # ~1 s of round-trip latency (500-step runs took 10+ min);
+    # scanning cuts dispatches 50x with identical math.  The final
+    # partial chunk is PADDED to the same length with flag-masked
+    # no-op steps so run_chunk compiles exactly once per shape
+    # (ADVICE r2: a remainder chunk paid a second full jit compile).
     @jax.jit
-    def run_chunk(params, opt_state, batches, negs):
+    def run_chunk(params, opt_state, batches, negs, flags):
         def body(carry, b):
             p, o = carry
-            pairs, neg = b
-            p, o, loss = step_fn(p, o, pairs, neg)
+            pairs, neg, flag = b
+            p, o, loss = step_fn(p, o, pairs, neg, flag)
             return (p, o), loss
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (batches, negs))
+            body, (params, opt_state), (batches, negs, flags))
         return params, opt_state, losses
 
     rng = np.random.RandomState(seed + 1)
@@ -242,15 +249,16 @@ def fit(model: PathGNN, graph: CSRGraph, paths: np.ndarray,
     while done < num_steps:
         k = min(chunk, num_steps - done)
         batches = pairs_all[rng.randint(len(pairs_all),
-                                        size=(k, batch_size))]
+                                        size=(chunk, batch_size))]
         negs = (neg_all[rng.randint(len(neg_all),
-                                    size=(k, batch_size))]
-                if use_neg else np.zeros((k, 1, 2), dtype=np.int32))
+                                    size=(chunk, batch_size))]
+                if use_neg else np.zeros((chunk, 1, 2), dtype=np.int32))
+        flags = np.arange(chunk) < k
         state.params, state.opt_state, losses = run_chunk(
             state.params, state.opt_state, jnp.asarray(batches),
-            jnp.asarray(negs))
+            jnp.asarray(negs), jnp.asarray(flags))
         state.step += k
-        state.history.extend(np.asarray(losses).tolist())
+        state.history.extend(np.asarray(losses)[:k].tolist())
         done += k
     return state
 

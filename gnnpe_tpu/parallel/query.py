@@ -29,6 +29,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from gnnpe_tpu.match.filter import eps_threshold as _eps_threshold
+
 from gnnpe_tpu.match.device_filter import (extract_candidates,
                                            pe_mask_device_exact,
                                            pge_mask_device_exact,
@@ -120,7 +122,8 @@ class ShardedPESearch:
         pad = qb - q
         ql = jnp.asarray(_pad_q(query_pde.labels[rows], pad, -1))
         qd = jnp.asarray(_pad_q(query_pde.degrees[rows], pad, 0))
-        thresh = query_pde.pde[rows] - self.base_epsilon
+        thresh = _eps_threshold(query_pde.pde[rows],
+                                self.base_epsilon)
         qt3 = tuple(jnp.asarray(_pad_q(limb, pad, np.float32(0.0)))
                     for limb in split3(thresh))
         return ql, qd, qt3, pad, q
@@ -253,7 +256,8 @@ class ShardedPGESearch:
         mask = np.asarray(self._mask_fn(
             self.d_labels, self.d_degrees,
             self.d_ghi3, self.d_llo3, self.d_lhi3,
-            ql, qd, limbs(q_group[:, 0, :] - self.base_epsilon),
+            ql, qd, limbs(_eps_threshold(q_group[:, 0, :],
+                          self.base_epsilon)),
             limbs(q_label_group[:, 0, :]),
             limbs(q_label_group[:, 1, :])))
         mask = mask[:q, :self.num_vertices]

@@ -76,3 +76,71 @@ def offline_pipelined(graph: CSRGraph, order: np.ndarray,
     paths = np.concatenate(path_chunks, axis=0)
     pde = np.concatenate([np.asarray(f) for f in pde_futures], axis=0)
     return paths, pde
+
+
+def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
+                            num_vertices_per_path: int, vertices,
+                            mesh, block_size: int = 512,
+                            chunk_starts: int = 16384,
+                            workers: int = 8):
+    """Pipelined PE offline stage THROUGH index build (VERDICT r2 item
+    6): thread-parallel chunked enumeration overlapped with per-chunk
+    sort-key computation, then one global dedup + stable argsort +
+    device fold.
+
+    The sort-based index makes the merge trivial: chunk keys are
+    independent (composite_sort_key), so the only global steps are the
+    reverse-orientation dedup, ONE np.argsort over the concatenated
+    keys, and the single-dispatch device fold — everything else runs
+    concurrently on the worker pool (numpy releases the GIL in the
+    vectorized expansion/gather ops).
+
+    Output is IDENTICAL to the sequential
+    ``enumerate_paths(dedup=True)`` + ``build_from_paths`` pipeline:
+    chunks partition the start order, dedup keeps the first-seen
+    orientation which is chunk-order invariant, and the final sort is
+    over the same keys.
+
+    Returns (paths int32[P, L], DevicePackedPESearch, timings dict).
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gnnpe_tpu.index.device_packed import (DevicePackedPESearch,
+                                               composite_sort_key)
+    from gnnpe_tpu.paths.enumerate import (dedup_orientations_streaming,
+                                           start_ranks)
+
+    t_all = time.perf_counter()
+    chunks = [order[lo:lo + chunk_starts]
+              for lo in range(0, len(order), chunk_starts)]
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        enum_futs = [pool.submit(enumerate_paths_from, graph, c,
+                                 num_vertices_per_path)
+                     for c in chunks]
+        key_futs = [pool.submit(
+            lambda f=f: composite_sort_key(f.result(), vertices))
+            for f in enum_futs]
+        path_chunks = [f.result() for f in enum_futs]
+        key_chunks = [f.result() for f in key_futs]
+    t_enum_keys = time.perf_counter() - t_all
+
+    t0 = time.perf_counter()
+    paths = np.concatenate(path_chunks, axis=0)
+    keys = np.concatenate(key_chunks)
+    rank = start_ranks(order, graph.num_vertices)
+    keep = dedup_orientations_streaming(paths, rank)
+    paths = paths[keep]
+    keys = keys[keep]
+    t_dedup = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    idx = DevicePackedPESearch.build_from_paths(
+        mesh, paths, vertices, block_size=block_size,
+        precomputed_key=keys)
+    t_build = time.perf_counter() - t0
+    timings = {"enum_keys_s": round(t_enum_keys, 2),
+               "dedup_s": round(t_dedup, 2),
+               "build_s": round(t_build, 2),
+               "total_s": round(time.perf_counter() - t_all, 2)}
+    return paths, idx, timings

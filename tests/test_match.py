@@ -218,6 +218,22 @@ def test_pge_epsilon_fixes_ulp_false_prune(data_graph):
                             data_graph).offline(packed=packed)
             got = eng.online(q).answer_count
             if want is None:
-                want = got  # e=2 never hit the bug; VF2-checked 10880
+                want = got  # e=2 never hit the bug
             assert got == want, (e, packed, got, want)
-    assert want == 10880
+    # Independent VF2 oracle instead of a fixture-bound literal (the
+    # invariant is e=2/e=4 × packed/flat parity AND exactness, not a
+    # specific count tied to the sampler's RNG).
+    import networkx as nx
+    G = nx.Graph()
+    for v in range(data_graph.num_vertices):
+        G.add_node(v, label=int(data_graph.labels[v]))
+    src, dst = data_graph.coo()
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    Q = nx.Graph()
+    for v in range(q.num_vertices):
+        Q.add_node(v, label=int(q.labels[v]))
+    qsrc, qdst = q.coo()
+    Q.add_edges_from(zip(qsrc.tolist(), qdst.tolist()))
+    gm = nx.algorithms.isomorphism.GraphMatcher(
+        G, Q, node_match=lambda a, b: a["label"] == b["label"])
+    assert want == sum(1 for _ in gm.subgraph_monomorphisms_iter())

@@ -120,3 +120,51 @@ def test_offline_pipelined_matches_unpipelined(data_graph):
     want_pde = ve.vde[want_paths.reshape(-1)].reshape(
         len(want_paths), -1)
     np.testing.assert_allclose(pde, want_pde, rtol=1e-5, atol=1e-5)
+
+
+def test_offline_build_pipelined_equals_sequential(data_graph):
+    """Pipelined enumerate→key→dedup→build (paths/pipeline.py) must
+    produce the identical index (vids layout and summaries) and the
+    identical candidate sets as the sequential stage."""
+    import jax
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.embed.vde import gen_vde
+    from gnnpe_tpu.embed.pde import gen_query_pde_table
+    from gnnpe_tpu.graph.partition import degree_sorted_nodes
+    from gnnpe_tpu.index.device_packed import DevicePackedPESearch
+    from gnnpe_tpu.io.datasets import sample_query
+    from gnnpe_tpu.match.plan import greedy_path_cover
+    from gnnpe_tpu.parallel.mesh import make_mesh
+    from gnnpe_tpu.paths.enumerate import enumerate_paths
+    from gnnpe_tpu.paths.pipeline import offline_build_pipelined
+
+    cfg = PEConfig.from_cli(l=2, e=2, p=5)
+    order = degree_sorted_nodes(data_graph)
+    vertices = gen_vde(data_graph, cfg.vde_dim)
+    mesh = make_mesh(1, axes=("graph",), shape=(1,))
+
+    seq_paths, _ = enumerate_paths(data_graph, order, cfg.path_length,
+                                   dedup=True)
+    seq_idx = DevicePackedPESearch.build_from_paths(
+        mesh, seq_paths, vertices, block_size=512)
+
+    pip_paths, pip_idx, timings = offline_build_pipelined(
+        data_graph, order, cfg.path_length, vertices, mesh,
+        block_size=512, chunk_starts=777)    # odd chunk on purpose
+    np.testing.assert_array_equal(pip_paths, seq_paths)
+    np.testing.assert_array_equal(pip_idx._host_vids,
+                                  seq_idx._host_vids)
+    np.testing.assert_array_equal(np.asarray(pip_idx.b_deg),
+                                  np.asarray(seq_idx.b_deg))
+    assert timings["total_s"] > 0
+
+    q = sample_query(data_graph, 8, tree=True, seed=3)
+    qv = gen_vde(q, cfg.vde_dim)
+    qp, _ = enumerate_paths(q, np.arange(q.num_vertices),
+                            cfg.path_length, dedup=True)
+    q_pde, w, _ = gen_query_pde_table(qv, qp)
+    plan = greedy_path_cover(qp, w, q.num_vertices)
+    a = seq_idx.search(q_pde, plan, q.num_vertices)
+    b = pip_idx.search(q_pde, plan, q.num_vertices)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
