@@ -108,7 +108,7 @@ def path_groups(vertices: VertexEmbeddings, start: np.ndarray,
 
 def path_groups_device(vertices: VertexEmbeddings, graph, order,
                        num_vertices_per_path: int, pde_dim: int,
-                       chunk_starts: int = 4096):
+                       chunk_starts: int = 65536):
     """Bit-exact PGE path groups with the fold on DEVICE, streaming.
 
     Scale problem (VERDICT r1): the host fold sorts all P paths and
@@ -152,19 +152,21 @@ def path_groups_device(vertices: VertexEmbeddings, graph, order,
 
     @jax.jit
     def fold_chunk(paths, mn_v, mx_v, mn_x, mx_x):
+        # Pad rows carry start vertex v: they fold into the discard
+        # segment (index v) and never touch real vertices.
         seg = paths[:, 0]
         pv = jnp.take(vr, paths.reshape(-1), axis=0).reshape(
             paths.shape[0], l * d)
         px = jnp.take(xr, paths.reshape(-1), axis=0).reshape(
             paths.shape[0], l * d)
         mn_v = jnp.minimum(mn_v, jax.ops.segment_min(
-            pv, seg, num_segments=v))
+            pv, seg, num_segments=v + 1)[:v])
         mx_v = jnp.maximum(mx_v, jax.ops.segment_max(
-            pv, seg, num_segments=v))
+            pv, seg, num_segments=v + 1)[:v])
         mn_x = jnp.minimum(mn_x, jax.ops.segment_min(
-            px, seg, num_segments=v))
+            px, seg, num_segments=v + 1)[:v])
         mx_x = jnp.maximum(mx_x, jax.ops.segment_max(
-            px, seg, num_segments=v))
+            px, seg, num_segments=v + 1)[:v])
         return mn_v, mx_v, mn_x, mx_x
 
     mn_v = jnp.full((v, l * d), big)
@@ -176,6 +178,15 @@ def path_groups_device(vertices: VertexEmbeddings, graph, order,
         rows = enumerate_paths_from(graph, order[lo:lo + chunk_starts], l)
         if rows.shape[0] == 0:
             continue
+        # Power-of-two row buckets: a data-dependent chunk shape would
+        # recompile fold_chunk per chunk — at the youtube rung that
+        # was ~280 relay compiles (561 s offline); bucketed, the whole
+        # stream compiles ~log2(spread) times.
+        p_pad = 1 << max(0, (rows.shape[0] - 1).bit_length())
+        if p_pad > rows.shape[0]:
+            rows = np.concatenate(
+                [rows, np.full((p_pad - rows.shape[0], l), v,
+                               rows.dtype)])
         mn_v, mx_v, mn_x, mx_x = fold_chunk(
             jnp.asarray(rows), mn_v, mx_v, mn_x, mx_x)
 

@@ -55,11 +55,21 @@ def _bucket(n: int, lo: int = 1) -> int:
 
 
 # Fixed surviving-block chunk: phase 2 always gathers exactly
-# K_CHUNK blocks per dispatch and the host loops over chunks, so the
-# compiled shape never depends on how many blocks a query survives.
-# (Round-2's per-query power-of-two K caused a fresh ~10-40 s relay
-# compile on nearly every dblp query — the 42 s online p50.)
-_K_CHUNK = 64
+# _chunk_k(nbl) blocks per dispatch and the host loops over chunks, so
+# the compiled shape never depends on how many blocks a query survives
+# (round-2's per-query power-of-two K caused a fresh ~10-40 s relay
+# compile on nearly every dblp query — the 42 s online p50).  The
+# chunk scales with the index — nbl/64, clamped to [64, 1024] — so a
+# dblp-sized index (262k blocks) doesn't pay dozens of ~40 ms relay
+# dispatches per heavy query (the round-3 5.5 s p90).
+_K_CHUNK_MIN = 64
+_K_CHUNK_MAX = 1024
+
+
+def _chunk_k(nbl: int) -> int:
+    return min(_bucket(nbl),
+               max(_K_CHUNK_MIN, min(_K_CHUNK_MAX,
+                                     _bucket(max(1, nbl // 64)))))
 
 
 def _pad_to(arr: np.ndarray, rows: int, fill) -> np.ndarray:
@@ -529,7 +539,7 @@ class DevicePackedPESearch:
         import jax.numpy as jnp
         t0 = _time.perf_counter()
         n = self.mesh.shape[self.axis]
-        k = min(_K_CHUNK, _bucket(self.nb_local))
+        k = _chunk_k(self.nb_local)
         dp = int(self.b_ub3[0].shape[-1])
         if self.table_mode:
             l = int(self.d_vids.shape[0])
@@ -600,7 +610,7 @@ class DevicePackedPESearch:
         if kmax == 0:
             return [np.zeros(0, dtype=np.int64)
                     for _ in range(num_query_vertices)]
-        k = min(_K_CHUNK, _bucket(nbl))
+        k = _chunk_k(nbl)
         num_chunks = -(-kmax // k)
         b = self.block_size
 
@@ -773,7 +783,7 @@ class DevicePackedPGESearch:
         import jax.numpy as jnp
         t0 = _time.perf_counter()
         n = self.mesh.shape[self.axis]
-        k = min(_K_CHUNK, _bucket(self.nb_local))
+        k = _chunk_k(self.nb_local)
         dp = int(self.b_gub3[0].shape[-1])
         if self._phase1 is None:
             self._phase1 = self._build_phase1()
@@ -833,7 +843,7 @@ class DevicePackedPGESearch:
             return [np.zeros(0, dtype=np.int64) for _ in q_vertex_ids]
         # Fixed-K chunking: query-independent compiled shape (see the
         # PE search — the host loop varies, the program does not).
-        k = min(_K_CHUNK, _bucket(nbl))
+        k = _chunk_k(nbl)
         num_chunks = -(-kmax // k)
         b = self.block_size
         if k not in self._phase2:
