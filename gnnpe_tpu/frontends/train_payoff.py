@@ -60,7 +60,8 @@ def evaluate(eng, queries):
 
 def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
         steps: int = 300, vde_dim: int = 2, l: int = 2, seed: int = 0,
-        packed: bool = True, learning_rate: float = 1e-2) -> list:
+        packed: bool = True, learning_rate: float = 1e-2,
+        max_answers: int = 100_000) -> list:
     from gnnpe_tpu.config import PGEConfig
     from gnnpe_tpu.engine import PGEEngine
     from gnnpe_tpu.graph.partition import degree_sorted_nodes
@@ -71,7 +72,10 @@ def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
     from gnnpe_tpu.paths.enumerate import enumerate_paths
 
     g = load_dataset(dataset, seed=seed)
-    cfg = PGEConfig.from_cli(l=l, e=vde_dim, p=5)
+    # Cap refinement emission (the ref -n flag): ladder-rung queries
+    # average ~2.5e9 matches — uncapped, evaluate() measures match
+    # ENUMERATION, and the payoff under test is the filter.
+    cfg = PGEConfig.from_cli(l=l, e=vde_dim, p=5, n=max_answers)
     # Held-out queries: seeds disjoint from the training graph sampling
     # (training pairs come from data paths, not from these queries).
     qs = [sample_query(g, query_size, tree=True, seed=10_000 + seed + i)
@@ -186,6 +190,7 @@ def main(argv=None):
     ap.add_argument("--vde-dim", type=int, default=2)
     ap.add_argument("--l", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-answers", type=int, default=100_000)
     ap.add_argument("--out", default="TRAINING.json")
     ap.add_argument("--md", default="TRAINING.md")
     args = ap.parse_args(argv)
@@ -195,7 +200,8 @@ def main(argv=None):
                             query_size=args.query_size,
                             steps=args.steps, vde_dim=args.vde_dim,
                             l=args.l, seed=args.seed,
-                            learning_rate=args.lr))
+                            learning_rate=args.lr,
+                            max_answers=args.max_answers))
     with open(args.out, "a") as f:
         for r in all_rows:
             f.write(json.dumps(r) + "\n")
