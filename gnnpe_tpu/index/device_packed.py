@@ -399,6 +399,75 @@ class DevicePackedPESearch:
 
         return jax.jit(run)
 
+    # -- fused single-dispatch search (small indexes) -----------------
+    def _build_fused(self):
+        """When every shard's blocks fit one chunk, phase 1, the host
+        block selection, and the leaf pass collapse into ONE dispatch:
+        the block mask computes on device and gates leaf rows directly
+        (each relay round trip costs ~40 ms — on Test/yeast-scale
+        indexes this halves online search latency)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        b = self.block_size
+
+        if self.table_mode:
+            @functools.partial(
+                jax.shard_map, mesh=self.mesh,
+                in_specs=(P(None, self.axis),
+                          (P(self.axis),) * 3, (P(self.axis),) * 3,
+                          (P(self.axis),) * 3, P(self.axis),
+                          P(), P(), (P(),) * 3, (P(),) * 3,
+                          (P(),) * 5),
+                out_specs=P(None, self.axis))
+            def run(dv, ub3, llo3, lhi3, bdeg, ql, qd, qt3, qlbl3,
+                    tables):
+                labv, degv, vh, vm, vl = tables
+                dom = ge3(*(a[None] for a in ub3),
+                          *(a[:, None, :] for a in qt3)).all(-1)
+                inside = (ge3(*(a[:, None, :] for a in qlbl3),
+                              *(a[None] for a in llo3)) &
+                          ge3(*(a[None] for a in lhi3),
+                              *(a[:, None, :] for a in qlbl3))).all(-1)
+                degm = (qd[:, None, :] <= bdeg[None]).all(-1)
+                bmask = dom & inside & degm          # [Qb, nbl]
+                gv = dv.T                            # [rows, L]
+                flat = gv.reshape(-1)
+                gl = jnp.take(labv, flat).reshape(gv.shape)
+                gd = jnp.take(degv, flat).reshape(gv.shape)
+                gp3 = tuple(
+                    jnp.take(t, flat, axis=0).reshape(gv.shape[0], -1)
+                    for t in (vh, vm, vl))
+                m = pe_mask_device_exact(gl, gd, gp3, ql, qd, qt3)
+                gate = jnp.repeat(bmask, b, axis=1,
+                                  total_repeat_length=gv.shape[0])
+                return m & gate
+        else:
+            @functools.partial(
+                jax.shard_map, mesh=self.mesh,
+                in_specs=(P(self.axis), P(self.axis),
+                          (P(self.axis),) * 3,
+                          (P(self.axis),) * 3, (P(self.axis),) * 3,
+                          (P(self.axis),) * 3, P(self.axis),
+                          P(), P(), (P(),) * 3, (P(),) * 3),
+                out_specs=P(None, self.axis))
+            def run(dl, dd, dp3, ub3, llo3, lhi3, bdeg, ql, qd, qt3,
+                    qlbl3):
+                dom = ge3(*(a[None] for a in ub3),
+                          *(a[:, None, :] for a in qt3)).all(-1)
+                inside = (ge3(*(a[:, None, :] for a in qlbl3),
+                              *(a[None] for a in llo3)) &
+                          ge3(*(a[None] for a in lhi3),
+                              *(a[:, None, :] for a in qlbl3))).all(-1)
+                degm = (qd[:, None, :] <= bdeg[None]).all(-1)
+                bmask = dom & inside & degm
+                m = pe_mask_device_exact(dl, dd, dp3, ql, qd, qt3)
+                gate = jnp.repeat(bmask, b, axis=1,
+                                  total_repeat_length=dl.shape[0])
+                return m & gate
+
+        return jax.jit(run)
+
     # -- phase 2: gathered leaf pass ----------------------------------
     def _build_phase2(self, k: int):
         import jax
@@ -551,16 +620,31 @@ class DevicePackedPESearch:
             self._phase2[k] = (self._build_phase2_tbl(k)
                                if self.table_mode
                                else self._build_phase2(k))
+        fused = self.nb_local <= k
+        if fused and "fused" not in self._phase2:
+            self._phase2["fused"] = self._build_fused()
         for qb in qbs:
             z = lambda *s: jnp.zeros(s, jnp.float32)
             qt3 = (z(qb, dp),) * 3
             qd = jnp.zeros((qb, l), jnp.int32)
+            ql = jnp.full((qb, l), -1, jnp.int32)
+            if fused:
+                if self.table_mode:
+                    np.asarray(self._phase2["fused"](
+                        self.d_vids, self.b_ub3, self.b_llo3,
+                        self.b_lhi3, self.b_deg, ql, qd, qt3, qt3,
+                        self._tables))
+                else:
+                    np.asarray(self._phase2["fused"](
+                        self.d_labels, self.d_degrees, self.d_pde3,
+                        self.b_ub3, self.b_llo3, self.b_lhi3,
+                        self.b_deg, ql, qd, qt3, qt3))
+                continue
             np.asarray(self._phase1(self.b_ub3, self.b_llo3,
                                     self.b_lhi3, self.b_deg,
                                     qt3, qt3, qd))
             sel = jnp.zeros((n, k), jnp.int32)
             bqm = jnp.zeros((n, k, qb), bool)
-            ql = jnp.full((qb, l), -1, jnp.int32)
             if self.table_mode:
                 np.asarray(self._phase2[k](
                     self.d_vids, sel, bqm, ql, qd, qt3, self._tables))
@@ -591,6 +675,25 @@ class DevicePackedPESearch:
                     for a in split3(thresh))
         qlbl3 = tuple(jnp.asarray(padq(a, np.float32(0.0)))
                       for a in split3(query_pde.pde_label[rows]))
+
+        # Small-index fast path: every shard's blocks fit one chunk →
+        # fuse block mask + leaf test into a single dispatch (no host
+        # round trip between phases; each costs ~40 ms on the relay).
+        if union == "host" and self.nb_local <= _chunk_k(self.nb_local):
+            if "fused" not in self._phase2:
+                self._phase2["fused"] = self._build_fused()
+            if self.table_mode:
+                mask = np.asarray(self._phase2["fused"](
+                    self.d_vids, self.b_ub3, self.b_llo3, self.b_lhi3,
+                    self.b_deg, ql, qd, qt3, qlbl3, self._tables))[:q]
+            else:
+                mask = np.asarray(self._phase2["fused"](
+                    self.d_labels, self.d_degrees, self.d_pde3,
+                    self.b_ub3, self.b_llo3, self.b_lhi3, self.b_deg,
+                    ql, qd, qt3, qlbl3))[:q]
+            return extract_candidates(mask, self._host_vids,
+                                      query_pde.vids[rows],
+                                      num_query_vertices)
 
         if self._phase1 is None:
             self._phase1 = self._build_phase1()
@@ -777,6 +880,42 @@ class DevicePackedPGESearch:
 
         return jax.jit(run)
 
+    def _build_fused(self):
+        """Single-dispatch search for small indexes (see the PE
+        version): block mask computed on device gates the leaf rows
+        directly — no host round trip between phases."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        b = self.block_size
+
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis),
+                      (P(self.axis),) * 3, (P(self.axis),) * 3,
+                      (P(self.axis),) * 3,
+                      (P(self.axis),) * 3, (P(self.axis),) * 3,
+                      (P(self.axis),) * 3, P(self.axis),
+                      P(), P(), (P(),) * 3, (P(),) * 3, (P(),) * 3),
+            out_specs=P(None, self.axis))
+        def run(dl, dd, ghi3, llo3, lhi3, gub3, bllo3, blhi3, bdeg,
+                ql, qd, qglo3, qllo3, qlhi3):
+            dom = ge3(*(a[None] for a in gub3),
+                      *(a[:, None, :] for a in qglo3)).all(-1)
+            overlap = (ge3(*(a[None] for a in blhi3),
+                           *(a[:, None, :] for a in qllo3)) &
+                       ge3(*(a[:, None, :] for a in qlhi3),
+                           *(a[None] for a in bllo3))).all(-1)
+            degm = qd[:, None] <= bdeg[None]
+            bmask = dom & overlap & degm
+            m = pge_mask_device_exact(dl, dd, ghi3, llo3, lhi3,
+                                      ql, qd, qglo3, qllo3, qlhi3)
+            gate = jnp.repeat(bmask, b, axis=1,
+                              total_repeat_length=dl.shape[0])
+            return m & gate
+
+        return jax.jit(run)
+
     def warm(self, qbs=(8, 16)) -> float:
         """Precompile phase 1 + phase 2 (see DevicePackedPESearch.warm)."""
         import time as _time
@@ -785,20 +924,30 @@ class DevicePackedPGESearch:
         n = self.mesh.shape[self.axis]
         k = _chunk_k(self.nb_local)
         dp = int(self.b_gub3[0].shape[-1])
+        fused = self.nb_local <= k
+        if fused and "fused" not in self._phase2:
+            self._phase2["fused"] = self._build_fused()
         if self._phase1 is None:
             self._phase1 = self._build_phase1()
-        if k not in self._phase2:
+        if not fused and k not in self._phase2:
             self._phase2[k] = self._build_phase2(k)
         for qb in qbs:
             z = lambda *s: jnp.zeros(s, jnp.float32)
             t3 = (z(qb, dp),) * 3
             qd = jnp.zeros((qb,), jnp.int32)
+            ql = jnp.full((qb,), -1, jnp.int32)
+            if fused:
+                np.asarray(self._phase2["fused"](
+                    self.d_labels, self.d_degrees, self.d_ghi3,
+                    self.d_llo3, self.d_lhi3, self.b_gub3,
+                    self.b_llo3, self.b_lhi3, self.b_deg,
+                    ql, qd, t3, t3, t3))
+                continue
             np.asarray(self._phase1(self.b_gub3, self.b_llo3,
                                     self.b_lhi3, self.b_deg,
                                     t3, t3, t3, qd))
             sel = jnp.zeros((n, k), jnp.int32)
             bqm = jnp.zeros((n, k, qb), bool)
-            ql = jnp.full((qb,), -1, jnp.int32)
             np.asarray(self._phase2[k](
                 self.d_labels, self.d_degrees, self.d_ghi3,
                 self.d_llo3, self.d_lhi3, sel, bqm,
@@ -826,6 +975,21 @@ class DevicePackedPGESearch:
                                      self.base_epsilon))
         qllo3 = limbs(q_label_group[:, 0, :])
         qlhi3 = limbs(q_label_group[:, 1, :])
+
+        # Small-index fast path: one fused dispatch (see PE search).
+        if self.nb_local <= _chunk_k(self.nb_local):
+            if "fused" not in self._phase2:
+                self._phase2["fused"] = self._build_fused()
+            mask = np.asarray(self._phase2["fused"](
+                self.d_labels, self.d_degrees, self.d_ghi3,
+                self.d_llo3, self.d_lhi3, self.b_gub3, self.b_llo3,
+                self.b_lhi3, self.b_deg, ql, qd,
+                qglo3, qllo3, qlhi3))[:q]
+            out: List[np.ndarray] = []
+            for j, _ in enumerate(q_vertex_ids):
+                hit = self._order[mask[j]]
+                out.append(np.unique(hit[hit >= 0]).astype(np.int64))
+            return out
 
         if self._phase1 is None:
             self._phase1 = self._build_phase1()
