@@ -358,3 +358,32 @@ def test_train_step_backend_equality(toy):
             lambda a, b: np.testing.assert_allclose(
                 a, b, rtol=1e-4, atol=1e-5),
             base_params, p2)
+
+
+def test_fused_small_index_parity(data_graph, query_graph):
+    """Small indexes route through the fused single-dispatch search;
+    candidates must equal the flat filter exactly (both array mode and
+    table mode, PE l=1 keeps the index under one chunk)."""
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.engine import PEEngine
+    from gnnpe_tpu.index.device_packed import (DevicePackedPESearch,
+                                               _chunk_k)
+
+    mesh = make_mesh(8, axes=("graph",), shape=(8,))
+    cfg = PEConfig.from_cli(l=1, e=2, p=5)
+    eng = PEEngine(cfg, data_graph)
+    eng.offline().build_index(packed=True)
+    flat = eng.online(query_graph, engine="python").answer_count
+
+    eng.attach_mesh(mesh, packed=True)      # array mode
+    assert eng.sharded.nb_local <= _chunk_k(eng.sharded.nb_local), \
+        "fixture too big: fused path not exercised"
+    r_arr = eng.online(query_graph, engine="python")
+    assert r_arr.answer_count == flat
+
+    eng.sharded = DevicePackedPESearch.build_from_paths(
+        mesh, eng.paths, eng.vertices, block_size=512)  # table mode
+    r_tbl = eng.online(query_graph, engine="python")
+    assert r_tbl.answer_count == flat
+    for a, b in zip(r_arr.candidates, r_tbl.candidates):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
