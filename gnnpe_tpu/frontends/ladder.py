@@ -96,11 +96,14 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
                       + np.asarray(eng.sharded.b_deg).nbytes)
     lat = []
     answers = []
+    stages = {"query_plan": [], "search": [], "refine": []}
     for q in qs:
         t0 = time.time()
         r = eng.online(q, union="host")
         lat.append((time.time() - t0) * 1e3)
         answers.append(r.answer_count)
+        for k in stages:
+            stages[k].append(r.timings_ms.get(k, 0.0))
     # Spot verification vs the flat exact filter (query 0).
     from gnnpe_tpu.match.filter import pe_candidates
     from gnnpe_tpu.embed.pde import gen_query_pde_table
@@ -127,6 +130,8 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         max_answers=max_answers,
         online_p50_ms=round(float(np.median(lat)), 1),
         online_p90_ms=round(float(np.percentile(lat, 90)), 1),
+        stage_p50_ms={k: round(float(np.median(v)), 1)
+                      for k, v in stages.items()},
         mean_answers=round(float(np.mean(answers)), 1),
         spot_verified=bool(spot_ok)))
     print(f"[ladder:{name}] PE l={pe_l}: paths={num_paths} "
@@ -146,6 +151,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
     lat2 = []
     answers2 = []
     skipped = 0
+    stages2 = {"query_plan": [], "search": [], "refine": []}
     for q in qs:
         t0 = time.time()
         try:
@@ -155,6 +161,8 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
             continue
         lat2.append((time.time() - t0) * 1e3)
         answers2.append(r.answer_count)
+        for k in stages2:
+            stages2[k].append(r.timings_ms.get(k, 0.0))
     rows.append(dict(
         rung=name, variant="pge", l=2, v=g.num_vertices, e=g.num_edges,
         offline_s=round(pge_off_s, 2), warm_s=round(warm2_s, 2),
@@ -162,6 +170,8 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         queries=len(lat2), skipped=skipped, max_answers=max_answers,
         online_p50_ms=round(float(np.median(lat2)), 1),
         online_p90_ms=round(float(np.percentile(lat2, 90)), 1),
+        stage_p50_ms={k: round(float(np.median(v)), 1)
+                      for k, v in stages2.items()},
         mean_answers=round(float(np.mean(answers2)), 1)))
     print(f"[ladder:{name}] PGE l=2: offline={pge_off_s:.1f}s "
           f"p50={np.median(lat2):.0f}ms skipped={skipped}",

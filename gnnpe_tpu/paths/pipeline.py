@@ -112,26 +112,25 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
                                            start_ranks)
 
     t_all = time.perf_counter()
+    rank = start_ranks(order, graph.num_vertices)
     chunks = [order[lo:lo + chunk_starts]
               for lo in range(0, len(order), chunk_starts)]
+
+    def work(c):
+        # Dedup is ROW-LOCAL (rank[first] < rank[last]), so it applies
+        # per chunk — survivors only get keys, and the whole
+        # enumerate→dedup→key chain runs inside the overlap.
+        rows = enumerate_paths_from(graph, c, num_vertices_per_path)
+        rows = rows[dedup_orientations_streaming(rows, rank)]
+        return rows, composite_sort_key(rows, vertices)
+
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        enum_futs = [pool.submit(enumerate_paths_from, graph, c,
-                                 num_vertices_per_path)
-                     for c in chunks]
-        key_futs = [pool.submit(
-            lambda f=f: composite_sort_key(f.result(), vertices))
-            for f in enum_futs]
-        path_chunks = [f.result() for f in enum_futs]
-        key_chunks = [f.result() for f in key_futs]
+        results = list(pool.map(work, chunks))
     t_enum_keys = time.perf_counter() - t_all
 
     t0 = time.perf_counter()
-    paths = np.concatenate(path_chunks, axis=0)
-    keys = np.concatenate(key_chunks)
-    rank = start_ranks(order, graph.num_vertices)
-    keep = dedup_orientations_streaming(paths, rank)
-    paths = paths[keep]
-    keys = keys[keep]
+    paths = np.concatenate([r[0] for r in results], axis=0)
+    keys = np.concatenate([r[1] for r in results])
     t_dedup = time.perf_counter() - t0
 
     t0 = time.perf_counter()
