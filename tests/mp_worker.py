@@ -76,4 +76,19 @@ out_sh = agg(shard_along(hmesh, jnp.asarray(shards), "graph"))
 # zeros, so this equals the checksum of the dense aggregation).
 checksum = float(jax.jit(lambda a: jnp.abs(a).sum())(out_sh))
 print(f"HALO {checksum:.6f}", flush=True)
+
+# Binned-halo (production scatter-free) aggregation, same mesh.
+from gnnpe_tpu.parallel.binned_halo import BinnedHaloPlan  # noqa: E402
+bplan = BinnedHaloPlan.build(g.offsets, g.neighbors, membership,
+                             4 * nproc)
+bagg = bplan.make_aggregate(hmesh)
+bout = bagg(shard_along(hmesh, jnp.asarray(bplan.shard_features(x)),
+                        "graph"))
+# Checksum over REAL rows only (pad rows carry ~1e-5 float junk that
+# is never read by consumers; exclude it from the cross-run compare).
+rows = jnp.asarray(bplan.row_of_vertex())
+bsum = float(jax.jit(
+    lambda a, r: jnp.abs(jnp.take(a.reshape(-1, a.shape[-1]), r,
+                                  axis=0)).sum())(bout, rows))
+print(f"BINNED {bsum:.6f}", flush=True)
 jax.distributed.shutdown()

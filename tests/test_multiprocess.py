@@ -22,7 +22,7 @@ def _free_port() -> int:
 
 def _parse(out: str) -> dict:
     vals = {}
-    for key in ("LOSS", "HALO"):
+    for key in ("LOSS", "HALO", "BINNED"):
         m = re.search(rf"^{key} ([-0-9.e+]+)$", out, re.M)
         assert m, f"{key} line missing in:\n{out}"
         vals[key] = float(m.group(1))
@@ -53,4 +53,6 @@ def test_two_process_matches_single_process():
     np.testing.assert_allclose(outs[0]["LOSS"], single["LOSS"],
                                rtol=1e-4)
     np.testing.assert_allclose(outs[0]["HALO"], single["HALO"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(outs[0]["BINNED"], single["BINNED"],
                                rtol=1e-4)
