@@ -72,7 +72,7 @@ def make_distributed_train_step(model: PathGNN, mesh: Mesh,
                                 optimizer, num_vertices: int,
                                 graph_axis: str = "graph",
                                 batch_axis: Optional[str] = "batch",
-                                backend: str = "psum",
+                                backend: Optional[str] = None,
                                 plan=None):
     """Build a jit-compiled SPMD training step with a pluggable
     aggregation backend — one seam, three implementations, identical
@@ -104,6 +104,12 @@ def make_distributed_train_step(model: PathGNN, mesh: Mesh,
     """
     axes = [a for a in (graph_axis, batch_axis)
             if a and a in mesh.axis_names]
+
+    if backend is None:
+        # Default: the production scatter-free layout whenever a plan
+        # is supplied; the exact psum baseline otherwise.
+        backend = "psum" if plan is None else (
+            "binned_halo" if hasattr(plan, "local_stack") else "halo")
 
     if backend != "psum":
         assert plan is not None, f"backend {backend!r} needs plan="
