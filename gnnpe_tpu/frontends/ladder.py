@@ -104,7 +104,12 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         answers.append(r.answer_count)
         for k in stages:
             stages[k].append(r.timings_ms.get(k, 0.0))
-    # Spot verification vs the flat exact filter (query 0).
+    # Spot verification of query 0 against an INDEPENDENT host f64
+    # implementation: the flat exact filter up to 20e6 paths, the host
+    # packed index beyond (the flat filter's [Q, P, L·D] broadcasts
+    # are tens of GB at synth100m scale; the host index shares no code
+    # with the device search and is itself flat-filter-verified by the
+    # test suite).
     from gnnpe_tpu.match.filter import pe_candidates
     from gnnpe_tpu.embed.pde import gen_query_pde_table
     from gnnpe_tpu.match.plan import greedy_path_cover
@@ -114,11 +119,18 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
                             cfg.path_length, dedup=True)
     q_pde, w, _ = gen_query_pde_table(qv, qp)
     plan = greedy_path_cover(qp, w, qs[0].num_vertices)
-    flat = pe_candidates(eng.data_pde, q_pde, plan, qs[0].num_vertices,
-                         epsilon=cfg.epsilon)
+    if num_paths <= 20_000_000:
+        oracle = pe_candidates(eng.data_pde, q_pde, plan,
+                               qs[0].num_vertices, epsilon=cfg.epsilon)
+    else:
+        from gnnpe_tpu.index.packed import PackedDominanceIndex
+        host_idx = PackedDominanceIndex.build(eng.data_pde,
+                                              block_size=block_size)
+        oracle = host_idx.search(q_pde, plan, qs[0].num_vertices,
+                                 epsilon=cfg.epsilon)
     packed = eng.sharded.search(q_pde, plan, qs[0].num_vertices)
-    spot_ok = all(np.array_equal(a, b) for a, b in zip(flat, packed))
-    assert spot_ok, "packed search != flat filter on spot query"
+    spot_ok = all(np.array_equal(a, b) for a, b in zip(oracle, packed))
+    assert spot_ok, "packed search != host oracle on spot query"
     rows.append(dict(
         rung=name, variant="pe", l=pe_l, v=g.num_vertices,
         e=g.num_edges, paths=num_paths,
