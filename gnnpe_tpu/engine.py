@@ -59,7 +59,8 @@ class PEEngine:
             lambda g: gen_vde(g, config.vde_dim))
         self.membership = (membership if membership is not None
                            else partition_graph(data_graph,
-                                                config.partition_num))
+                                                config.partition_num,
+                                                strategy="auto"))
         self.paths = None
         self.partition_rows = None
         self.data_pde = None
@@ -274,7 +275,8 @@ class PGEEngine:
             lambda g: gen_vde(g, config.vde_dim))
         self.membership = (membership if membership is not None
                            else partition_graph(data_graph,
-                                                config.partition_num))
+                                                config.partition_num,
+                                                strategy="auto"))
         self.vertices = None
         self.group = None
         self.label_group = None

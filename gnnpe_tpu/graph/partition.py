@@ -35,6 +35,13 @@ def partition_graph(graph: CSRGraph, num_parts: int,
     """Return int32[V] membership in [0, num_parts).
 
     strategy:
+      "auto"        — "multilevel" up to 200k vertices, "block" beyond
+                      (the Python multilevel partitioner costs tens of
+                      minutes at patents scale, and membership only
+                      shards work for the engines — the candidate
+                      union is invariant, SURVEY §3.3.  Halo plans,
+                      where cut quality sets the collective volume,
+                      should request "multilevel"/"metis" explicitly).
       "multilevel"  — METIS-style multilevel: heavy-edge-matching
                       coarsening → BFS growing at the coarsest level →
                       uncoarsen with greedy boundary refinement.  The
@@ -51,6 +58,8 @@ def partition_graph(graph: CSRGraph, num_parts: int,
     v = graph.num_vertices
     if num_parts <= 1:
         return np.zeros(v, dtype=np.int32)
+    if strategy == "auto":
+        strategy = "multilevel" if v <= 200_000 else "block"
     if strategy == "metis":
         try:
             import pymetis
