@@ -146,12 +146,15 @@ def path_groups_device(vertices: VertexEmbeddings, graph, order,
 
     vde_rank, vde_uniq = rank_tables(vertices.vde)
     x_rank, x_uniq = rank_tables(vertices.x)
+    # Rank tables flow in as jit ARGUMENTS: closured device arrays
+    # serialize into the relay's compile request (HTTP 413 at
+    # synth100m's [2e7, d] tables) and cost minutes to lower.
     vr = jnp.asarray(vde_rank)
     xr = jnp.asarray(x_rank)
     big = np.int32(2 ** 31 - 1)
 
     @jax.jit
-    def fold_chunk(paths, mn_v, mx_v, mn_x, mx_x):
+    def fold_chunk(paths, vr, xr, mn_v, mx_v, mn_x, mx_x):
         # Pad rows carry start vertex v: they fold into the discard
         # segment (index v) and never touch real vertices.
         seg = paths[:, 0]
@@ -188,7 +191,7 @@ def path_groups_device(vertices: VertexEmbeddings, graph, order,
                 [rows, np.full((p_pad - rows.shape[0], l), v,
                                rows.dtype)])
         mn_v, mx_v, mn_x, mx_x = fold_chunk(
-            jnp.asarray(rows), mn_v, mx_v, mn_x, mx_x)
+            jnp.asarray(rows), vr, xr, mn_v, mx_v, mn_x, mx_x)
 
     mn_v, mx_v = np.asarray(mn_v), np.asarray(mx_v)
     mn_x, mx_x = np.asarray(mn_x), np.asarray(mx_x)
