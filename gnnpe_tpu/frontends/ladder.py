@@ -36,7 +36,8 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
              seed: int = 0, block_size: int = 512,
              pe_max_paths: int = 400_000_000,
              max_answers: int = 100_000,
-             pipelined: bool = True) -> list:
+             pipelined: bool = True,
+             out_path: str = "") -> list:
     import jax
     enable_persistent_cache()
     from gnnpe_tpu.config import PEConfig, PGEConfig
@@ -47,6 +48,15 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
     from gnnpe_tpu.parallel.mesh import make_mesh
 
     rows = []
+
+    def emit(row):
+        # Rows land on disk AS PRODUCED: a crash in a later variant
+        # must not lose an hour-scale rung's completed results.
+        rows.append(row)
+        if out_path:
+            with open(out_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+
     t0 = time.time()
     g = load_dataset(name, seed=seed)
     gen_s = time.time() - t0
@@ -131,7 +141,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
     packed = eng.sharded.search(q_pde, plan, qs[0].num_vertices)
     spot_ok = all(np.array_equal(a, b) for a, b in zip(oracle, packed))
     assert spot_ok, "packed search != host oracle on spot query"
-    rows.append(dict(
+    emit(dict(
         rung=name, variant="pe", l=pe_l, v=g.num_vertices,
         e=g.num_edges, paths=num_paths,
         enumerate_s=round(enum_s, 2), index_build_s=round(build_s, 2),
@@ -175,7 +185,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         answers2.append(r.answer_count)
         for k in stages2:
             stages2[k].append(r.timings_ms.get(k, 0.0))
-    rows.append(dict(
+    emit(dict(
         rung=name, variant="pge", l=2, v=g.num_vertices, e=g.num_edges,
         offline_s=round(pge_off_s, 2), warm_s=round(warm2_s, 2),
         index_bytes=int(eng2.group.nbytes + eng2.label_group.nbytes),
@@ -211,10 +221,8 @@ def main(argv=None):
                                  query_size=args.query_size,
                                  seed=args.seed,
                                  max_answers=args.max_answers,
-                                 pipelined=not args.sequential))
-    with open(args.out, "a") as f:
-        for r in all_rows:
-            f.write(json.dumps(r) + "\n")
+                                 pipelined=not args.sequential,
+                                 out_path=args.out))
     print(json.dumps(all_rows))
 
 
