@@ -72,6 +72,30 @@ def _chunk_k(nbl: int) -> int:
                                      _bucket(max(1, nbl // 64)))))
 
 
+def _pack_mask(m):
+    """Device: bool[Q, R] → uint32[Q, R//32] bitmap when 32 | R (the
+    production block sizes guarantee it), identity otherwise (tiny
+    test indexes).  Leaf masks travel device→host through a ~28 MB/s
+    relay pipe; at the synth100m rung an unpacked bool chunk is ~4 MB
+    (~150 ms) per dispatch — packed, ~131 KB."""
+    import jax.numpy as jnp
+    q, r = m.shape
+    if r % 32:
+        return m
+    bits = m.reshape(q, r // 32, 32).astype(jnp.uint32)
+    return (bits << jnp.arange(32, dtype=jnp.uint32)).sum(-1,
+                                                          dtype=jnp.uint32)
+
+
+def _unpack_mask(packed: np.ndarray, q: int) -> np.ndarray:
+    """Host inverse of _pack_mask → bool[q, R]."""
+    p = np.asarray(packed)[:q]
+    if p.dtype != np.uint32:
+        return p.astype(bool)
+    m8 = np.ascontiguousarray(p).view(np.uint8)
+    return np.unpackbits(m8, axis=1, bitorder="little").astype(bool)
+
+
 def _pad_to(arr: np.ndarray, rows: int, fill) -> np.ndarray:
     pad = rows - len(arr)
     if pad <= 0:
@@ -441,7 +465,7 @@ class DevicePackedPESearch:
                 m = pe_mask_device_exact(gl, gd, gp3, ql, qd, qt3)
                 gate = jnp.repeat(bmask, b, axis=1,
                                   total_repeat_length=gv.shape[0])
-                return m & gate
+                return _pack_mask(m & gate)
         else:
             @functools.partial(
                 jax.shard_map, mesh=self.mesh,
@@ -464,7 +488,7 @@ class DevicePackedPESearch:
                 m = pe_mask_device_exact(dl, dd, dp3, ql, qd, qt3)
                 gate = jnp.repeat(bmask, b, axis=1,
                                   total_repeat_length=dl.shape[0])
-                return m & gate
+                return _pack_mask(m & gate)
 
         return jax.jit(run)
 
@@ -493,7 +517,7 @@ class DevicePackedPESearch:
             m = pe_mask_device_exact(gl, gd, gp3, ql, qd, qt3)
             gate = jnp.repeat(bqm[0].T, b, axis=1,
                               total_repeat_length=rows.shape[0])
-            return m & gate
+            return _pack_mask(m & gate)
 
         return jax.jit(run)
 
@@ -525,7 +549,7 @@ class DevicePackedPESearch:
             m = pe_mask_device_exact(gl, gd, gp3, ql, qd, qt3)
             gate = jnp.repeat(bqm[0].T, b, axis=1,
                               total_repeat_length=rows.shape[0])
-            return m & gate
+            return _pack_mask(m & gate)
 
         return jax.jit(run)
 
@@ -683,14 +707,14 @@ class DevicePackedPESearch:
             if "fused" not in self._phase2:
                 self._phase2["fused"] = self._build_fused()
             if self.table_mode:
-                mask = np.asarray(self._phase2["fused"](
+                mask = _unpack_mask(self._phase2["fused"](
                     self.d_vids, self.b_ub3, self.b_llo3, self.b_lhi3,
-                    self.b_deg, ql, qd, qt3, qlbl3, self._tables))[:q]
+                    self.b_deg, ql, qd, qt3, qlbl3, self._tables), q)
             else:
-                mask = np.asarray(self._phase2["fused"](
+                mask = _unpack_mask(self._phase2["fused"](
                     self.d_labels, self.d_degrees, self.d_pde3,
                     self.b_ub3, self.b_llo3, self.b_lhi3, self.b_deg,
-                    ql, qd, qt3, qlbl3))[:q]
+                    ql, qd, qt3, qlbl3), q)
             return extract_candidates(mask, self._host_vids,
                                       query_pde.vids[rows],
                                       num_query_vertices)
@@ -762,13 +786,13 @@ class DevicePackedPESearch:
         for c in range(num_chunks):
             sel, selj, bqmj = chunk_inputs(c)
             if self.table_mode:
-                masks.append(np.asarray(self._phase2[k](
+                masks.append(_unpack_mask(self._phase2[k](
                     self.d_vids, selj, bqmj, ql, qd, qt3,
-                    self._tables))[:q])
+                    self._tables), q))
             else:
-                masks.append(np.asarray(self._phase2[k](
+                masks.append(_unpack_mask(self._phase2[k](
                     self.d_labels, self.d_degrees, self.d_pde3,
-                    self.d_vids, selj, bqmj, ql, qd, qt3))[:q])
+                    self.d_vids, selj, bqmj, ql, qd, qt3), q))
             # Map mask columns back to global entry rows.
             gcols_parts.append(np.concatenate(
                 [((s * nbl + sel[s])[:, None] * b
@@ -876,7 +900,7 @@ class DevicePackedPGESearch:
                                       ql, qd, qglo3, qllo3, qlhi3)
             gate = jnp.repeat(bqm[0].T, b, axis=1,
                               total_repeat_length=rows.shape[0])
-            return m & gate
+            return _pack_mask(m & gate)
 
         return jax.jit(run)
 
@@ -912,7 +936,7 @@ class DevicePackedPGESearch:
                                       ql, qd, qglo3, qllo3, qlhi3)
             gate = jnp.repeat(bmask, b, axis=1,
                               total_repeat_length=dl.shape[0])
-            return m & gate
+            return _pack_mask(m & gate)
 
         return jax.jit(run)
 
@@ -980,11 +1004,11 @@ class DevicePackedPGESearch:
         if self.nb_local <= _chunk_k(self.nb_local):
             if "fused" not in self._phase2:
                 self._phase2["fused"] = self._build_fused()
-            mask = np.asarray(self._phase2["fused"](
+            mask = _unpack_mask(self._phase2["fused"](
                 self.d_labels, self.d_degrees, self.d_ghi3,
                 self.d_llo3, self.d_lhi3, self.b_gub3, self.b_llo3,
                 self.b_lhi3, self.b_deg, ql, qd,
-                qglo3, qllo3, qlhi3))[:q]
+                qglo3, qllo3, qlhi3), q)
             out: List[np.ndarray] = []
             for j, _ in enumerate(q_vertex_ids):
                 hit = self._order[mask[j]]
@@ -1020,10 +1044,10 @@ class DevicePackedPGESearch:
                 part = ss[c * k:(c + 1) * k]
                 sel[s, :len(part)] = part
                 bqm[s, :len(part), :q] = bmask[:, s * nbl + part].T
-            masks.append(np.asarray(self._phase2[k](
+            masks.append(_unpack_mask(self._phase2[k](
                 self.d_labels, self.d_degrees, self.d_ghi3, self.d_llo3,
                 self.d_lhi3, jnp.asarray(sel), jnp.asarray(bqm),
-                ql, qd, qglo3, qllo3, qlhi3))[:q])
+                ql, qd, qglo3, qllo3, qlhi3), q))
             gcols_parts.append(np.concatenate(
                 [((s * nbl + sel[s])[:, None] * b
                   + np.arange(b)[None]).reshape(-1) for s in range(n)]))
