@@ -685,7 +685,10 @@ class DevicePackedPESearch:
         import jax.numpy as jnp
         rows = np.asarray(plan_rows)
         q = len(rows)
-        qb = _bucket(q)
+        # Floor the bucket at 8 so every plan with ≤8 rows (the common
+        # small-query shapes 1/2/4) reuses the warmed qb=8 program —
+        # warm() precompiles (8, 16) only (ADVICE r3 item 4).
+        qb = _bucket(q, lo=8)
         pad = qb - q
 
         def padq(a, fill):
@@ -982,7 +985,8 @@ class DevicePackedPGESearch:
                q_vertex_ids) -> List[np.ndarray]:
         import jax.numpy as jnp
         q = len(q_labels)
-        qb = _bucket(q)
+        qb = _bucket(q, lo=8)    # reuse the warmed qb=8 program
+
 
         def padq(a, fill):
             return _pad_to(a, qb, fill)

@@ -291,8 +291,14 @@ class BinnedHaloPlan:
             d = x_own.shape[-1]
             # 1) issue the exchange FIRST: gather send rows, all_to_all.
             sidx = args["send"][0]                    # [n, halo_pad]
-            send_rows = jnp.take(x_own, jnp.maximum(sidx, 0).reshape(-1),
-                                 axis=0).reshape(n, hpad, d)
+            # Unused slots (sidx == -1) ship exact ZEROS, not x_own[0]
+            # junk — the pad-correction rows downstream then cancel
+            # exactly instead of leaving an |x_own[0]|-scaled residue
+            # (ADVICE r3 item 2; halo.py's agg masks the same way).
+            send_rows = jnp.where(
+                (sidx >= 0).reshape(-1)[:, None],
+                jnp.take(x_own, jnp.maximum(sidx, 0).reshape(-1),
+                         axis=0), 0.0).reshape(n, hpad, d)
             halo = jax.lax.all_to_all(send_rows, axis, split_axis=0,
                                       concat_axis=0, tiled=True)
             halo_buf = halo.reshape(n * hpad, d)

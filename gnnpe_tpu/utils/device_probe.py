@@ -51,25 +51,32 @@ def _table_lookup(kind: str):
     return _TABLE["cpu"]
 
 
-def _step_time(fn, x, short=2, long=10, reps=3):
+def _step_time(fn, x, short=2, long=10, reps=3, aux=()):
+    """Long/short differenced per-iteration time of ``fn(h, *aux)``.
+
+    ``aux`` arrays enter the jit as ARGUMENTS — closured device arrays
+    are compile-time constants that can take minutes to lower through
+    the relay (the exact anti-pattern this module's constants price;
+    ADVICE r3 item 1)."""
     import jax
     import numpy as np
 
     def make(iters):
-        body = lambda i, h: fn(h) * 1.0
-        return jax.jit(
-            lambda h: jax.lax.fori_loop(0, iters, body, h).sum())
+        def run(h, *a):
+            body = lambda i, hh: fn(hh, *a) * 1.0
+            return jax.lax.fori_loop(0, iters, body, h).sum()
+        return jax.jit(run)
 
     f_s, f_l = make(short), make(long)
-    float(f_s(x))
-    float(f_l(x))
+    float(f_s(x, *aux))
+    float(f_l(x, *aux))
     diffs = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(f_s(x))
+        float(f_s(x, *aux))
         ts = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(f_l(x))
+        float(f_l(x, *aux))
         tl = time.perf_counter() - t0
         diffs.append((tl - ts) / (long - short))
     return max(float(np.median(diffs)), 1e-12)
@@ -87,17 +94,20 @@ def _probe(kind: str) -> Tuple[float, float, float]:
     # Dense stream: read+write 2·bytes per element.
     t_stream = _step_time(lambda h: h + 1.0, x)
     bw = 2 * rows * d * 4 / t_stream
-    # Row gather (random permutation, same buffer size).
+    # Row gather (random permutation, same buffer size); idx is a jit
+    # ARGUMENT, not a closure constant (ADVICE r3 item 1).
     idx = jnp.asarray(np.random.RandomState(1).permutation(rows)
                       .astype(np.int32))
-    t_gather = _step_time(lambda h: jnp.take(h, idx, axis=0), x)
+    t_gather = _step_time(lambda h, i: jnp.take(h, i, axis=0), x,
+                          aux=(idx,))
     gather_row_s = t_gather / rows
     # bf16 matmul flops.
     m = 1024 if on_tpu else 256
     a = jnp.asarray(np.random.RandomState(2).rand(m, m)
                     .astype(np.float32)).astype(jnp.bfloat16)
     t_mm = _step_time(
-        lambda h: (h @ a).astype(jnp.bfloat16), a.astype(jnp.bfloat16))
+        lambda h, w: (h @ w).astype(jnp.bfloat16),
+        a.astype(jnp.bfloat16), aux=(a,))
     flops = 2 * m ** 3 / t_mm
     return float(bw), float(flops), float(gather_row_s)
 
