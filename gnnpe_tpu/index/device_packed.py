@@ -120,17 +120,52 @@ def _outward(x: np.ndarray, up: bool, pad_rows: int = 0) -> np.ndarray:
     return u
 
 
-def composite_sort_key(paths: np.ndarray, vertices) -> np.ndarray:
+def sig_radix_of(vertices) -> int:
+    """Radix of the label-signature fold — one definition shared by the
+    index build and the query-side signature (path_sig)."""
+    return int(vertices.labels.max(initial=0)) + 3
+
+
+def path_sig(labels_rows: np.ndarray, sig_radix: int) -> np.ndarray:
+    """int64[N] label signature of each row of int[N, L] per-position
+    labels — the EXACT fold composite_sort_key uses, so equal label
+    vectors always produce equal signatures (collisions from the 2^30
+    wrap only ever ADD candidates block ranges, never drop them)."""
+    sig = np.zeros(len(labels_rows), np.int64)
+    r = np.int64(sig_radix)
+    for j in range(labels_rows.shape[1]):
+        sig = ((sig * r + (labels_rows[:, j].astype(np.int64) + 2))
+               & ((1 << 30) - 1))
+    return sig
+
+
+def key_tables(vertices):
+    """Precomputed per-vertex tables for composite_sort_key — hoist out
+    of chunk loops: recomputing the outward-rounded vde copy is an
+    O(V·D) nextafter pass PER CALL, which at the synth100m rung's 1220
+    chunks was ~all of the recorded 903 s 'enumeration' time."""
+    return (_outward(vertices.vde, True),
+            np.int64(sig_radix_of(vertices)),
+            vertices.labels.astype(np.int64))
+
+
+def composite_sort_key(paths: np.ndarray, vertices,
+                       tables=None) -> np.ndarray:
     """int64[P] index sort key: (label signature mod 2^30) << 32 |
     order-preserving bits of -Σpde f32.  Pure host numpy — chunkable,
     GIL-releasing, and independent across path chunks, which is what
     lets the pipelined offline stage overlap key computation with
     enumeration (paths/pipeline.py).  The key shapes block quality
-    only, never correctness."""
+    only, never correctness — EXCEPT that the high 32 bits (the label
+    signature) also drive the per-query contiguous block-range prune
+    (DevicePackedPESearch.search), which is conservative by the
+    path_sig collision argument.
+
+    ``tables``: optional key_tables(vertices) result; pass it when
+    calling per chunk (see key_tables on why)."""
     p, l = paths.shape
-    vde_up = _outward(vertices.vde, True)
-    sig_radix = np.int64(int(vertices.labels.max(initial=0)) + 3)
-    lab_all = vertices.labels.astype(np.int64)
+    vde_up, sig_radix, lab_all = (key_tables(vertices)
+                                  if tables is None else tables)
     sig = np.zeros(p, np.int64)
     s32 = np.zeros(p, np.float32)
     for j in range(l):
@@ -211,6 +246,8 @@ class DevicePackedPESearch:
 
         self._host_vids = vids            # for host-union extraction
         self.build_phase_ms = None
+        self._blk_sig_first = None        # sig ranges exist in table mode
+        self.last_stats = None
         self._phase1 = None
         self._phase2 = {}
         self._phase2_bitmap = {}
@@ -335,6 +372,21 @@ class DevicePackedPESearch:
         hv[:p] = paths[order_h]
         self._host_vids = hv
         vs_t_h = np.ascontiguousarray(hv.T)
+        # Per-block label-signature range (the sort's PRIMARY key, so
+        # blocks are sig-sorted and a query path's exact-label matches
+        # live in ONE contiguous block run — searchsorted per query
+        # prunes every other block before phase 2; VERDICT r3 item 5).
+        sig_sorted = key[order_h] >> 32
+        self._sig_radix = sig_radix_of(vertices)
+        nb_real = -(-p // b)
+        blk_first = np.full(nb_pad, np.int64(1) << 62, np.int64)
+        blk_last = np.full(nb_pad, np.int64(1) << 62, np.int64)
+        blk_first[:nb_real] = sig_sorted[np.arange(nb_real) * b]
+        blk_last[:nb_real] = sig_sorted[
+            np.minimum(np.arange(1, nb_real + 1) * b, p) - 1]
+        self._blk_sig_first = blk_first
+        self._blk_sig_last = blk_last
+        self.last_stats = None
         t_host = _time.perf_counter() - t0
 
         # ---- device fold: block summaries (small program) -----------
@@ -727,6 +779,20 @@ class DevicePackedPESearch:
         bmask = np.asarray(self._phase1(
             self.b_ub3, self.b_llo3, self.b_lhi3, self.b_deg,
             qt3, qlbl3, qd))[:q]          # [q, NB_pad]
+        blocks_phase1 = int(bmask.any(axis=0).sum())
+
+        # Signature-range prune (table mode): exact-label matches of a
+        # query path live in the contiguous sig-sorted block run
+        # [lo, hi) — everything outside is dead, however well its MBR
+        # summary overlaps.  Conservative: equal labels ⟹ equal sig.
+        if self._blk_sig_first is not None:
+            qsig = path_sig(query_pde.labels[rows], self._sig_radix)
+            lo = np.searchsorted(self._blk_sig_last, qsig, side="left")
+            hi = np.searchsorted(self._blk_sig_first, qsig,
+                                 side="right")
+            cols = np.arange(bmask.shape[1])
+            bmask = bmask & ((cols[None, :] >= lo[:, None]) &
+                             (cols[None, :] < hi[:, None]))
 
         # Host: per-shard surviving-block lists, processed in chunks of
         # a FIXED K so the compiled phase-2 shape is query-independent
@@ -737,10 +803,14 @@ class DevicePackedPESearch:
         sel_per = [np.nonzero(any_blk[s * nbl:(s + 1) * nbl])[0]
                    for s in range(n)]
         kmax = max((len(s) for s in sel_per), default=0)
+        k = _chunk_k(nbl)
+        self.last_stats = dict(
+            blocks=self.num_blocks, phase1=blocks_phase1,
+            survived=int(any_blk.sum()), kmax=int(kmax),
+            chunks=int(-(-kmax // k)) if kmax else 0)
         if kmax == 0:
             return [np.zeros(0, dtype=np.int64)
                     for _ in range(num_query_vertices)]
-        k = _chunk_k(nbl)
         num_chunks = -(-kmax // k)
         b = self.block_size
 
@@ -852,6 +922,24 @@ class DevicePackedPGESearch:
         self.b_lhi3 = tuple(put(a) for a in split3(
             _pad_to(index.blk_lgroup_hi, nb_pad, _NEG)))
         self.b_deg = put(_pad_to(index.blk_max_deg, nb_pad, 0))
+        # Host per-block label range: PGEPackedIndex sorts by label
+        # first (packed.py lexsort), so a query vertex's exact-label
+        # matches live in one contiguous block run — searchsorted
+        # prunes every other block before phase 2 (the linear-in-V
+        # surviving-block cost of VERDICT r3 weak item 3).
+        nv = len(index.order)
+        nb_real = -(-nv // b) if nv else 0
+        lab_s = index.labels.astype(np.int64)
+        hi_pad = np.int64(1) << 40
+        bf = np.full(nb_pad, hi_pad, np.int64)
+        bl = np.full(nb_pad, hi_pad, np.int64)
+        if nb_real:
+            bf[:nb_real] = lab_s[np.arange(nb_real) * b]
+            bl[:nb_real] = lab_s[
+                np.minimum(np.arange(1, nb_real + 1) * b, nv) - 1]
+        self._blk_lab_first = bf
+        self._blk_lab_last = bl
+        self.last_stats = None
         self._phase1 = None
         self._phase2 = {}
 
@@ -1024,6 +1112,17 @@ class DevicePackedPGESearch:
         bmask = np.asarray(self._phase1(
             self.b_gub3, self.b_llo3, self.b_lhi3, self.b_deg,
             qglo3, qllo3, qlhi3, qd))[:q]
+        blocks_phase1 = int(bmask.any(axis=0).sum())
+
+        # Label-range prune: blocks are label-sorted, so only the
+        # contiguous run containing each query vertex's label can hold
+        # exact-label matches (the leaf test requires equality).
+        qlab = np.asarray(q_labels).astype(np.int64)
+        lo = np.searchsorted(self._blk_lab_last, qlab, side="left")
+        hi = np.searchsorted(self._blk_lab_first, qlab, side="right")
+        cols = np.arange(bmask.shape[1])
+        bmask = bmask & ((cols[None, :] >= lo[:, None]) &
+                         (cols[None, :] < hi[:, None]))
 
         n = self.mesh.shape[self.axis]
         nbl = self.nb_local
@@ -1031,11 +1130,15 @@ class DevicePackedPGESearch:
         sel_per = [np.nonzero(any_blk[s * nbl:(s + 1) * nbl])[0]
                    for s in range(n)]
         kmax = max((len(s) for s in sel_per), default=0)
+        k = _chunk_k(nbl)
+        self.last_stats = dict(
+            blocks=len(self._blk_lab_first), phase1=blocks_phase1,
+            survived=int(any_blk.sum()), kmax=int(kmax),
+            chunks=int(-(-kmax // k)) if kmax else 0)
         if kmax == 0:
             return [np.zeros(0, dtype=np.int64) for _ in q_vertex_ids]
         # Fixed-K chunking: query-independent compiled shape (see the
         # PE search — the host loop varies, the program does not).
-        k = _chunk_k(nbl)
         num_chunks = -(-kmax // k)
         b = self.block_size
         if k not in self._phase2:

@@ -107,31 +107,59 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
     from concurrent.futures import ThreadPoolExecutor
 
     from gnnpe_tpu.index.device_packed import (DevicePackedPESearch,
-                                               composite_sort_key)
+                                               composite_sort_key,
+                                               key_tables)
     from gnnpe_tpu.paths.enumerate import (dedup_orientations_streaming,
                                            start_ranks)
 
     t_all = time.perf_counter()
     rank = start_ranks(order, graph.num_vertices)
-    chunks = [order[lo:lo + chunk_starts]
-              for lo in range(0, len(order), chunk_starts)]
+    # Key tables hoisted OUT of the chunk loop: composite_sort_key's
+    # outward-rounded vde copy is an O(V·D) nextafter pass — recomputed
+    # per chunk it was ~all of synth100m's 903 s "enumeration" time
+    # (1220 chunks × O(20M)); hoisted, keys cost O(paths) only.
+    ktabs = key_tables(vertices)
 
-    def work(c):
-        # Dedup is ROW-LOCAL (rank[first] < rank[last]), so it applies
-        # per chunk — survivors only get keys, and the whole
-        # enumerate→dedup→key chain runs inside the overlap.
-        rows = enumerate_paths_from(graph, c, num_vertices_per_path)
-        rows = rows[dedup_orientations_streaming(rows, rank)]
-        return rows, composite_sort_key(rows, vertices)
+    if num_vertices_per_path == 2:
+        # l=1 fast path: 2-vertex paths ARE the arc list, already in
+        # enumeration order (starts in rank order, CSR neighbors
+        # ascending) — no chunk loop, no expansion.
+        t0 = time.perf_counter()
+        deg = np.diff(graph.offsets).astype(np.int64)
+        src = np.repeat(np.asarray(order, np.int64), deg[order])
+        starts_ = graph.offsets[order].astype(np.int64)
+        row_start = np.concatenate([[0], np.cumsum(deg[order])])[:-1]
+        rep = np.repeat(np.arange(len(order), dtype=np.int64),
+                        deg[order])
+        local = np.arange(len(src), dtype=np.int64) - row_start[rep]
+        dst = graph.neighbors[starts_[rep] + local].astype(np.int64)
+        keep = rank[src] < rank[dst]
+        paths = np.stack([src[keep], dst[keep]], axis=1) \
+            .astype(np.int32)
+        keys = composite_sort_key(paths, vertices, tables=ktabs)
+        t_enum_keys = time.perf_counter() - t_all
+        t_dedup = 0.0
+    else:
+        chunks = [order[lo:lo + chunk_starts]
+                  for lo in range(0, len(order), chunk_starts)]
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        results = list(pool.map(work, chunks))
-    t_enum_keys = time.perf_counter() - t_all
+        def work(c):
+            # Dedup is ROW-LOCAL (rank[first] < rank[last]), so it
+            # applies per chunk — survivors only get keys, and the
+            # whole enumerate→dedup→key chain runs inside the overlap.
+            rows = enumerate_paths_from(graph, c, num_vertices_per_path)
+            rows = rows[dedup_orientations_streaming(rows, rank)]
+            return rows, composite_sort_key(rows, vertices, tables=ktabs)
 
-    t0 = time.perf_counter()
-    paths = np.concatenate([r[0] for r in results], axis=0)
-    keys = np.concatenate([r[1] for r in results])
-    t_dedup = time.perf_counter() - t0
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(work, chunks))
+        t_enum_keys = time.perf_counter() - t_all
+
+        t0 = time.perf_counter()
+        paths = np.concatenate([r[0] for r in results], axis=0)
+        keys = np.concatenate([r[1] for r in results])
+        del results
+        t_dedup = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     idx = DevicePackedPESearch.build_from_paths(

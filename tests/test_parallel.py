@@ -387,3 +387,30 @@ def test_fused_small_index_parity(data_graph, query_graph):
     assert r_tbl.answer_count == flat
     for a, b in zip(r_arr.candidates, r_tbl.candidates):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pge_chunked_label_prune_parity(data_graph, query_graph,
+                                        golden_meta):
+    """PGE chunked path (tiny blocks force nb_local > chunk K) with the
+    label-range block prune must still hit the 221,832 golden answer —
+    the prune may only remove blocks the exact-label leaf test would
+    reject anyway."""
+    from gnnpe_tpu.config import PGEConfig
+    from gnnpe_tpu.engine import PGEEngine
+    from gnnpe_tpu.index.packed import PGEPackedIndex
+    from gnnpe_tpu.index.device_packed import (DevicePackedPGESearch,
+                                               _chunk_k)
+    cfg = PGEConfig.from_cli(l=2, e=2, p=5)
+    eng = PGEEngine(cfg, data_graph).offline(packed=False)
+    idx = PGEPackedIndex.build(
+        eng.vertices.labels, eng.vertices.degrees,
+        eng.group, eng.label_group, block_size=4)
+    mesh = make_mesh(8, axes=("graph",), shape=(8,))
+    eng.sharded = DevicePackedPGESearch(mesh, idx,
+                                        base_epsilon=cfg.epsilon)
+    assert eng.sharded.nb_local > _chunk_k(eng.sharded.nb_local), \
+        "fixture too small: chunked path not exercised"
+    r = eng.online(query_graph, engine="python")
+    assert eng.sharded.last_stats["survived"] <= \
+        eng.sharded.last_stats["phase1"]
+    assert r.answer_count == golden_meta["pge"]["answer_number"]

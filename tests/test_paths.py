@@ -168,3 +168,25 @@ def test_offline_build_pipelined_equals_sequential(data_graph):
     b = pip_idx.search(q_pde, plan, q.num_vertices)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_pipeline_l1_fast_path_matches_sequential(data_graph):
+    """The l=1 fast path (paths = the oriented arc list, no expansion
+    loop) must emit the SAME rows in the SAME enumeration order as the
+    generic chunked pipeline and the sequential enumerator."""
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.embed.vde import gen_vde
+    from gnnpe_tpu.graph.partition import degree_sorted_nodes
+    from gnnpe_tpu.parallel.mesh import make_mesh
+    from gnnpe_tpu.paths.pipeline import offline_build_pipelined
+
+    cfg = PEConfig.from_cli(l=1, e=2, p=5)
+    order = degree_sorted_nodes(data_graph)
+    vertices = gen_vde(data_graph, cfg.vde_dim)
+    mesh = make_mesh(1, axes=("graph",), shape=(1,))
+    seq_paths, _ = enumerate_paths(data_graph, order, cfg.path_length,
+                                   dedup=True)
+    pip_paths, pip_idx, _ = offline_build_pipelined(
+        data_graph, order, cfg.path_length, vertices, mesh,
+        block_size=512)
+    np.testing.assert_array_equal(pip_paths, seq_paths)
