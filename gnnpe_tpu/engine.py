@@ -336,7 +336,7 @@ class PGEEngine:
 
     def online(self, query_graph: CSRGraph, engine: str = "auto",
                return_embeddings: bool = False,
-               preverify: int = 0) -> MatchResult:
+               union: str = "host", preverify: int = 0) -> MatchResult:
         assert self.group is not None, "call offline() first"
         t = StageTimer()
         with t.stage("query_plan"):
@@ -354,9 +354,16 @@ class PGEEngine:
         with t.stage("search"):
             nq = query_graph.num_vertices
             if self.sharded is not None:
-                cands = self.sharded.search(qv.labels, qv.degrees,
-                                            q_group, q_label_group,
-                                            list(range(nq)))
+                from gnnpe_tpu.index.device_packed import \
+                    DevicePackedPGESearch
+                if isinstance(self.sharded, DevicePackedPGESearch):
+                    cands = self.sharded.search(
+                        qv.labels, qv.degrees, q_group, q_label_group,
+                        list(range(nq)), union=union)
+                else:
+                    cands = self.sharded.search(qv.labels, qv.degrees,
+                                                q_group, q_label_group,
+                                                list(range(nq)))
             elif getattr(self, "index", None) is not None:
                 cands = self.index.search(qv.labels, qv.degrees,
                                           q_group, q_label_group,

@@ -107,6 +107,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
     lat = []
     answers = []
     stages = {"query_plan": [], "search": [], "refine": []}
+    chunk_counts, survived = [], []
     for q in qs:
         t0 = time.time()
         r = eng.online(q, union="host")
@@ -114,6 +115,10 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         answers.append(r.answer_count)
         for k in stages:
             stages[k].append(r.timings_ms.get(k, 0.0))
+        st = eng.sharded.last_stats
+        if st is not None:
+            chunk_counts.append(st["chunks"])
+            survived.append(st["survived"])
     # Spot verification of query 0 against an INDEPENDENT host f64
     # implementation: the flat exact filter up to 20e6 paths, the host
     # packed index beyond (the flat filter's [Q, P, L·D] broadcasts
@@ -154,6 +159,15 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         online_p90_ms=round(float(np.percentile(lat, 90)), 1),
         stage_p50_ms={k: round(float(np.median(v)), 1)
                       for k, v in stages.items()},
+        stage_p90_ms={k: round(float(np.percentile(v, 90)), 1)
+                      for k, v in stages.items()},
+        chunks_p50=(round(float(np.median(chunk_counts)), 1)
+                    if chunk_counts else None),
+        chunks_p90=(round(float(np.percentile(chunk_counts, 90)), 1)
+                    if chunk_counts else None),
+        blocks_survived_p50=(round(float(np.median(survived)), 1)
+                             if survived else None),
+        num_blocks=int(eng.sharded.num_blocks),
         mean_answers=round(float(np.mean(answers)), 1),
         spot_verified=bool(spot_ok)))
     print(f"[ladder:{name}] PE l={pe_l}: paths={num_paths} "
@@ -174,6 +188,8 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
     answers2 = []
     skipped = 0
     stages2 = {"query_plan": [], "search": [], "refine": []}
+    chunk_counts2, survived2 = [], []
+    q_first = None
     for q in qs:
         t0 = time.time()
         try:
@@ -183,8 +199,44 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
             continue
         lat2.append((time.time() - t0) * 1e3)
         answers2.append(r.answer_count)
+        if q_first is None:
+            q_first = q
         for k in stages2:
             stages2[k].append(r.timings_ms.get(k, 0.0))
+        st = eng2.sharded.last_stats
+        if st is not None:
+            chunk_counts2.append(st["chunks"])
+            survived2.append(st["survived"])
+    # Spot verification (VERDICT r3 item 3): query 0's packed-search
+    # candidates checked bit-equal against a host oracle — the flat
+    # exact PGE filter where its [Q, V, D] broadcasts fit (≤5M
+    # vertices), the host PGEPackedIndex walk beyond (itself
+    # flat-filter-verified by the test suite).
+    spot_ok2 = None
+    if q_first is not None:
+        from gnnpe_tpu.embed.pde import path_groups
+        from gnnpe_tpu.match.filter import pge_candidates
+        qv2 = eng2.embedder(q_first)
+        qp2, _ = enumerate_paths(q_first,
+                                 np.arange(q_first.num_vertices),
+                                 cfg2.path_length, dedup=False)
+        qg2, qlg2 = path_groups(qv2, qp2[:, 0], qp2, cfg2.pde_dim)
+        ids2 = list(range(q_first.num_vertices))
+        if g.num_vertices <= 5_000_000:
+            oracle2 = pge_candidates(
+                eng2.vertices.labels, eng2.vertices.degrees,
+                eng2.group, eng2.label_group,
+                qv2.labels, qv2.degrees, qg2, qlg2,
+                q_vertex_ids=ids2, epsilon=cfg2.epsilon)
+        else:
+            oracle2 = eng2.index.search(
+                qv2.labels, qv2.degrees, qg2, qlg2, ids2,
+                epsilon=cfg2.epsilon)
+        packed2 = eng2.sharded.search(qv2.labels, qv2.degrees,
+                                      qg2, qlg2, ids2)
+        spot_ok2 = all(np.array_equal(a, b)
+                       for a, b in zip(oracle2, packed2))
+        assert spot_ok2, "PGE packed search != host oracle on spot query"
     emit(dict(
         rung=name, variant="pge", l=2, v=g.num_vertices, e=g.num_edges,
         offline_s=round(pge_off_s, 2), warm_s=round(warm2_s, 2),
@@ -194,7 +246,16 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         online_p90_ms=round(float(np.percentile(lat2, 90)), 1),
         stage_p50_ms={k: round(float(np.median(v)), 1)
                       for k, v in stages2.items()},
-        mean_answers=round(float(np.mean(answers2)), 1)))
+        stage_p90_ms={k: round(float(np.percentile(v, 90)), 1)
+                      for k, v in stages2.items()},
+        chunks_p50=(round(float(np.median(chunk_counts2)), 1)
+                    if chunk_counts2 else None),
+        chunks_p90=(round(float(np.percentile(chunk_counts2, 90)), 1)
+                    if chunk_counts2 else None),
+        blocks_survived_p50=(round(float(np.median(survived2)), 1)
+                             if survived2 else None),
+        mean_answers=round(float(np.mean(answers2)), 1),
+        spot_verified=bool(spot_ok2)))
     print(f"[ladder:{name}] PGE l=2: offline={pge_off_s:.1f}s "
           f"p50={np.median(lat2):.0f}ms skipped={skipped}",
           file=sys.stderr)

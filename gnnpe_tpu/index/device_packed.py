@@ -737,6 +737,7 @@ class DevicePackedPESearch:
         import jax.numpy as jnp
         rows = np.asarray(plan_rows)
         q = len(rows)
+        self.last_stats = None           # set by the chunked path
         # Floor the bucket at 8 so every plan with ≤8 rows (the common
         # small-query shapes 1/2/4) reuses the warmed qb=8 program —
         # warm() precompiles (8, 16) only (ADVICE r3 item 4).
@@ -940,8 +941,13 @@ class DevicePackedPGESearch:
         self._blk_lab_first = bf
         self._blk_lab_last = bl
         self.last_stats = None
+        # Device copy of the entry→vertex map for the bitmap union
+        # (int32; pads are -1 and masked in-kernel).
+        self.d_order = put(order.astype(np.int32))
+        self._num_vertices = int(index.order.max(initial=0)) + 1
         self._phase1 = None
         self._phase2 = {}
+        self._phase2_bitmap = {}
 
     def _build_phase1(self):
         import jax
@@ -992,6 +998,48 @@ class DevicePackedPGESearch:
             gate = jnp.repeat(bqm[0].T, b, axis=1,
                               total_repeat_length=rows.shape[0])
             return _pack_mask(m & gate)
+
+        return jax.jit(run)
+
+    def _build_phase2_bitmap(self, k: int, num_vertices: int, nq: int):
+        """PGE device-bitmap union (VERDICT r3 item 10, mirroring the
+        PE ``_build_phase2_bitmap_tbl``): the leaf mask scatters into a
+        per-shard [nq, V] vertex bitmap that psum-ORs across the mesh —
+        no full leaf mask ever ships host-side per shard."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        b = self.block_size
+        axis = self.axis
+
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(P(axis), P(axis),
+                      (P(axis),) * 3, (P(axis),) * 3,
+                      (P(axis),) * 3, P(axis),
+                      P(axis), P(axis),
+                      P(), P(), (P(),) * 3, (P(),) * 3, (P(),) * 3),
+            out_specs=P())
+        def run(dl, dd, ghi3, llo3, lhi3, dord, sel, bqm,
+                ql, qd, qglo3, qllo3, qlhi3):
+            rows = (sel[0][:, None] * b
+                    + jnp.arange(b, dtype=jnp.int32)[None]).reshape(-1)
+            gl = jnp.take(dl, rows, axis=0)
+            gd = jnp.take(dd, rows, axis=0)
+            g3 = tuple(jnp.take(a, rows, axis=0) for a in ghi3)
+            lo3 = tuple(jnp.take(a, rows, axis=0) for a in llo3)
+            hi3 = tuple(jnp.take(a, rows, axis=0) for a in lhi3)
+            m = pge_mask_device_exact(gl, gd, g3, lo3, hi3,
+                                      ql, qd, qglo3, qllo3, qlhi3)
+            gate = jnp.repeat(bqm[0].T, b, axis=1,
+                              total_repeat_length=rows.shape[0])
+            go = jnp.take(dord, rows)
+            m = m & gate & (go >= 0)[None]
+            goc = jnp.clip(go, 0, num_vertices - 1)
+            out = jnp.zeros((nq, num_vertices), dtype=jnp.int32)
+            out = out.at[jnp.arange(nq)[:, None], goc[None, :]].max(
+                m[:nq].astype(jnp.int32))
+            return jax.lax.psum(out, axis)
 
         return jax.jit(run)
 
@@ -1070,9 +1118,10 @@ class DevicePackedPGESearch:
         return _time.perf_counter() - t0
 
     def search(self, q_labels, q_degrees, q_group, q_label_group,
-               q_vertex_ids) -> List[np.ndarray]:
+               q_vertex_ids, union: str = "host") -> List[np.ndarray]:
         import jax.numpy as jnp
         q = len(q_labels)
+        self.last_stats = None           # set by the chunked path
         qb = _bucket(q, lo=8)    # reuse the warmed qb=8 program
 
 
@@ -1093,7 +1142,7 @@ class DevicePackedPGESearch:
         qlhi3 = limbs(q_label_group[:, 1, :])
 
         # Small-index fast path: one fused dispatch (see PE search).
-        if self.nb_local <= _chunk_k(self.nb_local):
+        if union == "host" and self.nb_local <= _chunk_k(self.nb_local):
             if "fused" not in self._phase2:
                 self._phase2["fused"] = self._build_fused()
             mask = _unpack_mask(self._phase2["fused"](
@@ -1141,6 +1190,30 @@ class DevicePackedPGESearch:
         # PE search — the host loop varies, the program does not).
         num_chunks = -(-kmax // k)
         b = self.block_size
+
+        if union == "device":
+            nq = len(q_vertex_ids)
+            key = (k, nq)
+            if key not in self._phase2_bitmap:
+                self._phase2_bitmap[key] = self._build_phase2_bitmap(
+                    k, self._num_vertices, nq)
+            out = None
+            for c in range(num_chunks):
+                sel = np.zeros((n, k), dtype=np.int32)
+                bqm = np.zeros((n, k, qb), dtype=bool)
+                for s, ss in enumerate(sel_per):
+                    part = ss[c * k:(c + 1) * k]
+                    sel[s, :len(part)] = part
+                    bqm[s, :len(part), :q] = bmask[:, s * nbl + part].T
+                got = np.asarray(self._phase2_bitmap[key](
+                    self.d_labels, self.d_degrees, self.d_ghi3,
+                    self.d_llo3, self.d_lhi3, self.d_order,
+                    jnp.asarray(sel), jnp.asarray(bqm),
+                    ql, qd, qglo3, qllo3, qlhi3))
+                out = got if out is None else np.maximum(out, got)
+            return [np.nonzero(out[j])[0].astype(np.int64)
+                    for j in range(nq)]
+
         if k not in self._phase2:
             self._phase2[k] = self._build_phase2(k)
         masks, gcols_parts = [], []

@@ -414,3 +414,8 @@ def test_pge_chunked_label_prune_parity(data_graph, query_graph,
     assert eng.sharded.last_stats["survived"] <= \
         eng.sharded.last_stats["phase1"]
     assert r.answer_count == golden_meta["pge"]["answer_number"]
+    # Device bitmap union (chunked path) must equal the host union.
+    rd = eng.online(query_graph, engine="python", union="device")
+    for a, b in zip(r.candidates, rd.candidates):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert rd.answer_count == r.answer_count
