@@ -177,6 +177,145 @@ def composite_sort_key(paths: np.ndarray, vertices,
     return (sig << 32) | u
 
 
+_PF_CACHE: dict = {}
+
+
+def _compiled_permute_fold(mesh, axis: str, l: int, d: int, p_pad: int,
+                           v_pad: int, ent_rows: int, b: int):
+    """AOT-compiled fused (sort-permute + block-summary fold) program:
+    input = the STREAMED unsorted vid buffer (ChunkUploader) + the
+    order vector; output = the sorted device vid table and the four
+    block-summary arrays.  Cached per shape so the prewarm thread and
+    build_from_paths share one executable (compile + remote program
+    load paid during enumeration, not on the build critical path)."""
+    key = (mesh, axis, l, d, p_pad, v_pad, ent_rows, b)
+    if key in _PF_CACHE:
+        return _PF_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    nb_pad = ent_rows // b
+
+    def pf(buf, ordpad, sent, labv, degv, vde_up_t, x_up_t, x_dn_t):
+        g = jnp.take(buf, jnp.maximum(ordpad, 0), axis=1)
+        vs_t = jnp.where(ordpad[None, :] >= 0, g, sent)
+
+        def fold(table_t, op):
+            gg = jnp.concatenate(
+                [jnp.take(table_t, vs_t[j], axis=1)
+                 for j in range(l)], axis=0)
+            return op(gg.reshape(l * d, nb_pad, b), -1).T
+
+        blk_ub = fold(vde_up_t, jnp.max)
+        blk_lhi = fold(x_up_t, jnp.max)
+        blk_llo = fold(x_dn_t, jnp.min)
+        degp = jnp.stack([jnp.take(degv, vs_t[j]) for j in range(l)])
+        blk_deg = degp.reshape(l, nb_pad, b).max(-1).T
+        return vs_t, blk_ub, blk_llo, blk_lhi, blk_deg
+
+    sds = jax.ShapeDtypeStruct
+    f32, i32 = jnp.float32, jnp.int32
+    compiled = jax.jit(pf).lower(
+        sds((l, p_pad), i32,
+            sharding=NamedSharding(mesh, P(None, axis))),
+        sds((ent_rows,), i32, sharding=NamedSharding(mesh, P(axis))),
+        sds((), i32),
+        sds((v_pad,), i32), sds((v_pad,), i32),
+        sds((d, v_pad), f32), sds((d, v_pad), f32),
+        sds((d, v_pad), f32)).compile()
+    _PF_CACHE[key] = compiled
+    return compiled
+
+
+def pe_pad_shapes(p: int, block_size: int, num_vertices: int,
+                  n_shards: int):
+    """Padded shape buckets of a table-mode PE index — ONE definition
+    shared by build_from_paths, the chunked uploader, and the fold
+    prewarm (they must agree bit-for-bit for the overlap to pay)."""
+    p_pad = _bucket(max(p, block_size), lo=block_size)
+    v_pad = _bucket(num_vertices + 1)
+    nb = p_pad // block_size
+    nbl = max(1, -(-nb // n_shards))
+    return p_pad, v_pad, nb, nbl
+
+
+class ChunkUploader:
+    """Streams the UNSORTED vid table to the device in fixed-shape
+    chunks while enumeration still runs (VERDICT r3 item 4).
+
+    The device↔host relay pipe moves ~38 MB/s, so the sorted-table
+    device_put was the dominant index-build phase (58 s of youtube's
+    64 s).  But the unsorted rows are final the moment each
+    enumeration chunk's dedup finishes — so they can ride the pipe
+    DURING enumeration, and the sort becomes a device-side gather
+    through the (much smaller) order vector afterwards.  Fixed chunk
+    shape (cs columns) → one compiled write program; offsets stay
+    multiples of cs so dynamic_update_slice windows never clamp."""
+
+    def __init__(self, mesh, l: int, p_pad: int, sentinel: int,
+                 axis: str = "graph", cs: int = 1 << 23):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cs = min(cs, p_pad)
+        assert p_pad % cs == 0
+        self.cs, self.l, self.p_pad = cs, l, p_pad
+        self.sentinel = sentinel
+        sh = NamedSharding(mesh, P(None, axis))
+        self._buf = jax.device_put(
+            np.full((l, p_pad), sentinel, np.int32), sh)
+
+        def write(buf, chunk, start):
+            return jax.lax.dynamic_update_slice(
+                buf, chunk, (jnp.int32(0), start))
+
+        self._write = jax.jit(write, donate_argnums=0)
+        self._jnp = jnp
+        self._pend: List[np.ndarray] = []
+        self._npend = 0
+        self._off = 0
+
+    def feed(self, rows: np.ndarray) -> None:
+        """Queue [n, l] int32 path rows; uploads drain in cs-column
+        chunks (async dispatch — returns immediately)."""
+        if len(rows):
+            self._pend.append(rows)
+            self._npend += len(rows)
+        while self._npend >= self.cs:
+            self._flush(self.cs)
+
+    def _flush(self, k: int) -> None:
+        take, need = [], k
+        while need:
+            head = self._pend[0]
+            if len(head) <= need:
+                take.append(head)
+                need -= len(head)
+                self._pend.pop(0)
+            else:
+                take.append(head[:need])
+                self._pend[0] = head[need:]
+                need = 0
+        chunk = np.ascontiguousarray(
+            np.concatenate(take).T.astype(np.int32))      # [l, k]
+        if k < self.cs:
+            chunk = np.concatenate(
+                [chunk, np.full((self.l, self.cs - k), self.sentinel,
+                                np.int32)], axis=1)
+        self._buf = self._write(self._buf, self._jnp.asarray(chunk),
+                                np.int32(self._off))
+        self._npend -= k
+        self._off += k
+
+    def finish(self):
+        """Flush the remainder; returns (device buf [l, p_pad], rows
+        fed).  Tail [rows, p_pad) is the sentinel."""
+        if self._npend:
+            self._flush(min(self._npend, self.cs))
+        assert self._npend == 0
+        return self._buf, self._off
+
+
 class DevicePackedPESearch:
     """Sharded, fused PE packed-index search (see module docstring).
 
@@ -256,7 +395,7 @@ class DevicePackedPESearch:
     def build_from_paths(cls, mesh, paths: np.ndarray, vertices,
                          block_size: int = 512, axis: str = "graph",
                          base_epsilon: float = 1e-6,
-                         precomputed_key=None
+                         precomputed_key=None, preuploaded=None
                          ) -> "DevicePackedPESearch":
         """Hybrid index build (table mode — see class docstring).
 
@@ -312,10 +451,8 @@ class DevicePackedPESearch:
         # Shape buckets: pad the path count to a power of two ≥ b and
         # the vertex tables likewise, so compiled shapes are shared
         # across datasets of similar scale and across runs.
-        p_pad = _bucket(max(p, b), lo=b)
-        v_pad = _bucket(v + 1)
-        nb = p_pad // b
-        self.nb_local = nbl = max(1, -(-nb // n))
+        p_pad, v_pad, nb, nbl = pe_pad_shapes(p, b, v, n)
+        self.nb_local = nbl
         nb_pad = n * nbl
         self.num_blocks = nb
         ent_rows = nb_pad * b
@@ -371,7 +508,10 @@ class DevicePackedPESearch:
         hv = np.full((ent_rows, l), v, np.int32)
         hv[:p] = paths[order_h]
         self._host_vids = hv
-        vs_t_h = np.ascontiguousarray(hv.T)
+        # (The transposed host copy is only needed when the table is
+        # uploaded whole — the streamed path permutes on device.)
+        vs_t_h = (np.ascontiguousarray(hv.T)
+                  if preuploaded is None else None)
         # Per-block label-signature range (the sort's PRIMARY key, so
         # blocks are sig-sorted and a query path's exact-label matches
         # live in ONE contiguous block run — searchsorted per query
@@ -407,23 +547,49 @@ class DevicePackedPESearch:
             blk_deg = degp.reshape(l, nb_pad, b).max(-1).T
             return blk_ub, blk_llo, blk_lhi, blk_deg
 
-        t0 = _time.perf_counter()
         vids_sharding = NamedSharding(mesh, P(None, axis))
-        sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-        compiled = jax.jit(fold_all).lower(
-            jax.ShapeDtypeStruct(vs_t_h.shape, vs_t_h.dtype,
-                                 sharding=vids_sharding),
-            sds(labv), sds(degv), sds(vde_up_t),
-            sds(x_up_t), sds(x_dn_t)).compile()
-        t_compile = _time.perf_counter() - t0
+        if preuploaded is not None:
+            # Streamed-build path (VERDICT r3 item 4): the UNSORTED
+            # vid table already lives on device (ChunkUploader fed it
+            # during enumeration), so the only transfer left on the
+            # critical path is the order vector — 1/l of the table
+            # bytes — and the sort-permute runs as a device gather
+            # fused with the summary fold.
+            buf, fed = preuploaded
+            assert fed == p and buf.shape == (l, p_pad), \
+                (fed, p, buf.shape, (l, p_pad))
+            t0 = _time.perf_counter()
+            compiled_pf = _compiled_permute_fold(
+                mesh, axis, l, d, p_pad, v_pad, ent_rows, b)
+            t_compile = _time.perf_counter() - t0
 
-        t0 = _time.perf_counter()
-        # vids stored transposed [l, ent_rows], sharded on the row
-        # (entry) axis — see layout note in the docstring.
-        self.d_vids = jax.device_put(vs_t_h, vids_sharding)
-        blk_ub, blk_llo, blk_lhi, blk_deg = compiled(
-            self.d_vids, labv, degv, vde_up_t, x_up_t, x_dn_t)
-        self.d_labels = self.d_degrees = self.d_pde3 = None
+            t0 = _time.perf_counter()
+            ordpad = np.full(ent_rows, -1, np.int32)
+            ordpad[:p] = order_h
+            ord_d = jax.device_put(ordpad,
+                                   NamedSharding(mesh, P(axis)))
+            vs_dev, blk_ub, blk_llo, blk_lhi, blk_deg = compiled_pf(
+                buf, ord_d, np.int32(v), labv, degv,
+                vde_up_t, x_up_t, x_dn_t)
+            self.d_vids = vs_dev
+            self.d_labels = self.d_degrees = self.d_pde3 = None
+        else:
+            t0 = _time.perf_counter()
+            sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+            compiled = jax.jit(fold_all).lower(
+                jax.ShapeDtypeStruct(vs_t_h.shape, vs_t_h.dtype,
+                                     sharding=vids_sharding),
+                sds(labv), sds(degv), sds(vde_up_t),
+                sds(x_up_t), sds(x_dn_t)).compile()
+            t_compile = _time.perf_counter() - t0
+
+            t0 = _time.perf_counter()
+            # vids stored transposed [l, ent_rows], sharded on the row
+            # (entry) axis — see layout note in the docstring.
+            self.d_vids = jax.device_put(vs_t_h, vids_sharding)
+            blk_ub, blk_llo, blk_lhi, blk_deg = compiled(
+                self.d_vids, labv, degv, vde_up_t, x_up_t, x_dn_t)
+            self.d_labels = self.d_degrees = self.d_pde3 = None
         # Single-f32 conservative summaries as (value, 0, 0) limbs.
         shard = NamedSharding(mesh, P(axis))
         zeros_like = lambda a: jnp.zeros_like(a)
@@ -450,6 +616,39 @@ class DevicePackedPESearch:
         self._phase2 = {}
         self._phase2_bitmap = {}
         return self
+
+    @staticmethod
+    def prewarm_fold(mesh, l: int, d: int, p: int, num_vertices: int,
+                     block_size: int = 512, axis: str = "graph"
+                     ) -> None:
+        """Compile AND once-execute the permute+fold program for the
+        EXACT padded shapes the coming build will use, on device-made
+        junk (jnp.zeros — no host transfer).  Run from a thread during
+        enumeration so the compile and the relay's remote program-load
+        lottery (40-300 s worst case) never sit on the build critical
+        path.  p must be the exact path count (known in closed form
+        for 2- and 3-vertex paths)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n = mesh.shape[axis]
+        p_pad, v_pad, nb, nbl = pe_pad_shapes(p, block_size,
+                                              num_vertices, n)
+        ent_rows = n * nbl * block_size
+        compiled = _compiled_permute_fold(mesh, axis, l, d, p_pad,
+                                          v_pad, ent_rows, block_size)
+        z = lambda s, dt, spec: jax.device_put(
+            jnp.zeros(s, dt), NamedSharding(mesh, spec))
+        out = compiled(
+            z((l, p_pad), jnp.int32, P(None, axis)),
+            z((ent_rows,), jnp.int32, P(axis)),
+            np.int32(0),
+            np.zeros(v_pad, np.int32), np.zeros(v_pad, np.int32),
+            np.zeros((d, v_pad), np.float32),
+            np.zeros((d, v_pad), np.float32),
+            np.zeros((d, v_pad), np.float32))
+        # Force the load (readback of one scalar); discard results.
+        np.asarray(out[4][:1, :1])
 
     # -- phase 1: block mask ------------------------------------------
     def _build_phase1(self):

@@ -103,12 +103,15 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
 
     Returns (paths int32[P, L], DevicePackedPESearch, timings dict).
     """
+    import threading
     import time
     from concurrent.futures import ThreadPoolExecutor
 
-    from gnnpe_tpu.index.device_packed import (DevicePackedPESearch,
+    from gnnpe_tpu.index.device_packed import (ChunkUploader,
+                                               DevicePackedPESearch,
                                                composite_sort_key,
-                                               key_tables)
+                                               key_tables,
+                                               pe_pad_shapes)
     from gnnpe_tpu.paths.enumerate import (dedup_orientations_streaming,
                                            start_ranks)
 
@@ -119,6 +122,35 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
     # per chunk it was ~all of synth100m's 903 s "enumeration" time
     # (1220 chunks × O(20M)); hoisted, keys cost O(paths) only.
     ktabs = key_tables(vertices)
+
+    # Exact dedup'd path count, known BEFORE enumeration for 2- and
+    # 3-vertex paths (one orientation per undirected edge; Σdeg(deg-1)
+    # directed 3-paths, halved by the rank dedup).  Knowing p up front
+    # lets the device buffer, the fold program's compile, and its
+    # remote program load all happen DURING enumeration — and lets the
+    # unsorted vid rows stream to the device through the ~38 MB/s
+    # relay pipe as each chunk's dedup completes (VERDICT r3 item 4:
+    # upload_fold was 58 s of youtube's 64 s build, all serial).
+    deg_all = np.diff(graph.offsets).astype(np.int64)
+    if num_vertices_per_path == 2:
+        known_p = int(graph.num_edges)
+    elif num_vertices_per_path == 3:
+        known_p = int((deg_all * (deg_all - 1)).sum()) // 2
+    else:
+        known_p = None
+    uploader = None
+    prewarm = None
+    if known_p is not None and known_p > 0:
+        n_sh = mesh.shape["graph"]
+        p_pad, _, _, _ = pe_pad_shapes(known_p, block_size,
+                                       graph.num_vertices, n_sh)
+        uploader = ChunkUploader(mesh, num_vertices_per_path, p_pad,
+                                 sentinel=graph.num_vertices)
+        prewarm = threading.Thread(
+            target=DevicePackedPESearch.prewarm_fold,
+            args=(mesh, num_vertices_per_path, vertices.dim, known_p,
+                  graph.num_vertices, block_size), daemon=True)
+        prewarm.start()
 
     if num_vertices_per_path == 2:
         # l=1 fast path: 2-vertex paths ARE the arc list, already in
@@ -136,6 +168,8 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
         keep = rank[src] < rank[dst]
         paths = np.stack([src[keep], dst[keep]], axis=1) \
             .astype(np.int32)
+        if uploader is not None:
+            uploader.feed(paths)     # async; overlaps key computation
         keys = composite_sort_key(paths, vertices, tables=ktabs)
         t_enum_keys = time.perf_counter() - t_all
         t_dedup = 0.0
@@ -151,8 +185,15 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
             rows = rows[dedup_orientations_streaming(rows, rank)]
             return rows, composite_sort_key(rows, vertices, tables=ktabs)
 
+        results = []
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            results = list(pool.map(work, chunks))
+            # Consume lazily IN ORDER: each finished chunk's rows feed
+            # the device uploader immediately (transfers ride the pipe
+            # while later chunks still enumerate on the worker pool).
+            for res in pool.map(work, chunks):
+                if uploader is not None:
+                    uploader.feed(res[0])
+                results.append(res)
         t_enum_keys = time.perf_counter() - t_all
 
         t0 = time.perf_counter()
@@ -162,9 +203,18 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
         t_dedup = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    preuploaded = None
+    if uploader is not None:
+        if prewarm is not None:
+            prewarm.join()
+        buf, fed = uploader.finish()
+        if fed == len(paths):
+            preuploaded = (buf, fed)
+        # (fed != p would mean the closed-form count was wrong — fall
+        # back to the whole-table upload rather than build a bad index)
     idx = DevicePackedPESearch.build_from_paths(
         mesh, paths, vertices, block_size=block_size,
-        precomputed_key=keys)
+        precomputed_key=keys, preuploaded=preuploaded)
     t_build = time.perf_counter() - t0
     timings = {"enum_keys_s": round(t_enum_keys, 2),
                "dedup_s": round(t_dedup, 2),
