@@ -6,12 +6,15 @@ emits one JSON row per rung/variant.  The reference's end-to-end
 contract being scaled is GNN-PE/src/main.cpp:122-182.
 
 Scale policy (documented, not hidden):
-  * PE indexes ONE ENTRY PER PATH, so its feasible l is bounded by the
-    path count Σ deg·(deg-1): dblp (~1.2e8 3-vertex paths) runs the
-    full l=2 config; youtube/patents (~2.4e9) run PE at l=1 (the
-    reference copes identically — SURVEY §5 "keeping l tiny" — and
-    its l=1 is a broken parser, BASELINE.md), while PGE runs l=2
-    everywhere via the O(V)-memory streamed device group fold.
+  * PE indexes ONE ENTRY PER PATH.  Round 4 removed the HBM wall: the
+    index auto-selects STREAMED mode (sorted table host-RAM-resident,
+    phase-2 chunks uploaded per dispatch) when the leaf table exceeds
+    the HBM budget, so l=2 now runs wherever the HOST can enumerate
+    and sort the path set — the cap below (default 2e9 entries) is
+    enumeration/RAM feasibility, not device memory.  youtube's ~1.2e9
+    3-vertex entries run PE l=2 streamed; synth100m (~many-e9) stays
+    l=1.  PGE runs l=2 everywhere via the O(V)-memory streamed device
+    group fold.
   * Queries: ``--queries`` random-walk trees (labels inherited from
     the data graph, matches guaranteed to exist) — the standard
     SubgraphMatching methodology; p50 over all queries reported.
@@ -34,7 +37,7 @@ from gnnpe_tpu.utils.compile_cache import enable_persistent_cache
 
 def run_rung(name: str, queries: int = 50, query_size: int = 8,
              seed: int = 0, block_size: int = 512,
-             pe_max_paths: int = 400_000_000,
+             pe_max_paths: int = 2_000_000_000,
              max_answers: int = 100_000,
              pipelined: bool = True,
              out_path: str = "") -> list:
@@ -71,7 +74,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
           for i in range(queries)]
 
     # ---------------- PE ------------------------------------------------
-    pe_l = 2 if est_paths3 <= pe_max_paths else 1
+    pe_l = 2 if est_paths3 // 2 <= pe_max_paths else 1
     cfg = PEConfig.from_cli(l=pe_l, e=2, p=5, n=max_answers)
     eng = PEEngine(cfg, g)
     eng.vertices = eng.embedder(g)
@@ -85,16 +88,23 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         build_s = time.time() - t0
         enum_s = pipe_timings["enum_keys_s"]
     else:
+        from gnnpe_tpu.index.device_packed import auto_resident
         t0 = time.time()
         eng.offline()
         enum_s = time.time() - t0
         t0 = time.time()
         eng.sharded = DevicePackedPESearch.build_from_paths(
-            mesh, eng.paths, eng.vertices, block_size=block_size)
+            mesh, eng.paths, eng.vertices, block_size=block_size,
+            resident=auto_resident(
+                len(eng.paths), cfg.path_length, block_size,
+                g.num_vertices, mesh.shape["graph"]))
         build_s = time.time() - t0
     num_paths = len(eng.paths)
     from gnnpe_tpu.embed.pde import gen_pde
-    eng.data_pde = gen_pde(eng.vertices, eng.paths)
+    if num_paths <= 20_000_000:
+        # Full f64 PathEmbeddings only where it fits (the flat spot
+        # oracle); billion-path rungs use the chunked oracle instead.
+        eng.data_pde = gen_pde(eng.vertices, eng.paths)
     warm_s = eng.sharded.warm()
     index_bytes = int(eng.sharded._host_vids.nbytes
                       + sum(np.asarray(a).nbytes
@@ -120,12 +130,12 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
             chunk_counts.append(st["chunks"])
             survived.append(st["survived"])
     # Spot verification of query 0 against an INDEPENDENT host f64
-    # implementation: the flat exact filter up to 20e6 paths, the host
-    # packed index beyond (the flat filter's [Q, P, L·D] broadcasts
-    # are tens of GB at synth100m scale; the host index shares no code
-    # with the device search and is itself flat-filter-verified by the
-    # test suite).
-    from gnnpe_tpu.match.filter import pe_candidates
+    # implementation of the flat exact filter: in one shot up to 20e6
+    # paths, streamed over path chunks beyond (pe_candidates_chunked —
+    # full flat semantics, bounded memory, shares no code with the
+    # device search).
+    from gnnpe_tpu.match.filter import (pe_candidates,
+                                        pe_candidates_chunked)
     from gnnpe_tpu.embed.pde import gen_query_pde_table
     from gnnpe_tpu.match.plan import greedy_path_cover
     from gnnpe_tpu.paths.enumerate import enumerate_paths
@@ -138,17 +148,16 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         oracle = pe_candidates(eng.data_pde, q_pde, plan,
                                qs[0].num_vertices, epsilon=cfg.epsilon)
     else:
-        from gnnpe_tpu.index.packed import PackedDominanceIndex
-        host_idx = PackedDominanceIndex.build(eng.data_pde,
-                                              block_size=block_size)
-        oracle = host_idx.search(q_pde, plan, qs[0].num_vertices,
-                                 epsilon=cfg.epsilon)
+        oracle = pe_candidates_chunked(
+            eng.vertices, eng.paths, q_pde, plan,
+            qs[0].num_vertices, epsilon=cfg.epsilon)
     packed = eng.sharded.search(q_pde, plan, qs[0].num_vertices)
     spot_ok = all(np.array_equal(a, b) for a, b in zip(oracle, packed))
     assert spot_ok, "packed search != host oracle on spot query"
     emit(dict(
         rung=name, variant="pe", l=pe_l, v=g.num_vertices,
         e=g.num_edges, paths=num_paths,
+        mode="streamed" if eng.sharded.streamed else "resident",
         enumerate_s=round(enum_s, 2), index_build_s=round(build_s, 2),
         build_phase_ms=eng.sharded.build_phase_ms,
         pipeline=pipe_timings,

@@ -228,15 +228,79 @@ def _compiled_permute_fold(mesh, axis: str, l: int, d: int, p_pad: int,
 
 
 def pe_pad_shapes(p: int, block_size: int, num_vertices: int,
-                  n_shards: int):
+                  n_shards: int, pow2: bool = True):
     """Padded shape buckets of a table-mode PE index — ONE definition
     shared by build_from_paths, the chunked uploader, and the fold
-    prewarm (they must agree bit-for-bit for the overlap to pay)."""
-    p_pad = _bucket(max(p, block_size), lo=block_size)
+    prewarm (they must agree bit-for-bit for the overlap to pay).
+
+    pow2=False (streamed builds): pad P to block multiples only —
+    billion-entry tables can't afford a 2× power-of-two pad, and a
+    streamed build's per-scale phase-1 compile amortizes over the
+    query stream anyway."""
+    if pow2:
+        p_pad = _bucket(max(p, block_size), lo=block_size)
+    else:
+        p_pad = max(block_size, -(-p // block_size) * block_size)
     v_pad = _bucket(num_vertices + 1)
     nb = p_pad // block_size
     nbl = max(1, -(-nb // n_shards))
     return p_pad, v_pad, nb, nbl
+
+
+def hbm_budget_bytes() -> float:
+    """Device-resident index budget: a fraction of chip HBM (default
+    16 GB — v5e — overridable via GNNPE_HBM_BYTES).  The leaf table
+    must leave room for summaries, limb tables, search buffers, and
+    XLA scratch, hence the 0.35 fraction."""
+    import os
+    hbm = float(os.environ.get("GNNPE_HBM_BYTES", 16e9))
+    return 0.35 * hbm
+
+
+def auto_resident(p: int, l: int, block_size: int, num_vertices: int,
+                  n_shards: int) -> bool:
+    """Capacity model: device-resident iff the leaf vid table fits the
+    per-mesh HBM budget (l·p_pad·4 bytes over n shards)."""
+    p_pad, _, _, _ = pe_pad_shapes(p, block_size, num_vertices,
+                                   n_shards)
+    return l * p_pad * 4 <= hbm_budget_bytes() * n_shards
+
+
+def _host_fold_summaries(hv: np.ndarray, vde_up: np.ndarray,
+                         x_up: np.ndarray, x_dn: np.ndarray,
+                         degv: np.ndarray, b: int, workers: int = 2):
+    """Block summaries folded on HOST over the sorted vid table —
+    the streamed-build path where the table never moves to the device
+    (it would be l·P·4 bytes through a ~38 MB/s pipe).  Chunked and
+    thread-parallel (numpy gathers release the GIL); layout identical
+    to the device fold_all: [NB, l·d] position-major."""
+    from concurrent.futures import ThreadPoolExecutor
+    ent_rows, l = hv.shape
+    nb_pad = ent_rows // b
+    d = vde_up.shape[1]
+    blk_ub = np.empty((nb_pad, l * d), np.float32)
+    blk_lhi = np.empty((nb_pad, l * d), np.float32)
+    blk_llo = np.empty((nb_pad, l * d), np.float32)
+    blk_deg = np.empty((nb_pad, l), np.int32)
+    ch = max(b, ((1 << 23) // b) * b)   # ~8M rows, block-aligned
+
+    def work(lo):
+        hi = min(lo + ch, ent_rows)
+        s, e = lo // b, hi // b
+        rows = hv[lo:hi]
+        for j in range(l):
+            col = rows[:, j]
+            blk_ub[s:e, j * d:(j + 1) * d] = \
+                vde_up[col].reshape(-1, b, d).max(1)
+            blk_lhi[s:e, j * d:(j + 1) * d] = \
+                x_up[col].reshape(-1, b, d).max(1)
+            blk_llo[s:e, j * d:(j + 1) * d] = \
+                x_dn[col].reshape(-1, b, d).min(1)
+            blk_deg[s:e, j] = degv[col].reshape(-1, b).max(1)
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(work, range(0, ent_rows, ch)))
+    return blk_ub, blk_llo, blk_lhi, blk_deg
 
 
 class ChunkUploader:
@@ -386,6 +450,8 @@ class DevicePackedPESearch:
         self._host_vids = vids            # for host-union extraction
         self.build_phase_ms = None
         self._blk_sig_first = None        # sig ranges exist in table mode
+        self.streamed = False
+        self.k_chunk = _chunk_k(nbl)
         self.last_stats = None
         self._phase1 = None
         self._phase2 = {}
@@ -395,7 +461,8 @@ class DevicePackedPESearch:
     def build_from_paths(cls, mesh, paths: np.ndarray, vertices,
                          block_size: int = 512, axis: str = "graph",
                          base_epsilon: float = 1e-6,
-                         precomputed_key=None, preuploaded=None
+                         precomputed_key=None, preuploaded=None,
+                         resident: bool = True
                          ) -> "DevicePackedPESearch":
         """Hybrid index build (table mode — see class docstring).
 
@@ -438,6 +505,7 @@ class DevicePackedPESearch:
 
         self = cls.__new__(cls)
         self.table_mode = True
+        self.streamed = not resident
         self.mesh = mesh
         self.axis = axis
         self.base_epsilon = base_epsilon
@@ -450,12 +518,18 @@ class DevicePackedPESearch:
         n = mesh.shape[axis]
         # Shape buckets: pad the path count to a power of two ≥ b and
         # the vertex tables likewise, so compiled shapes are shared
-        # across datasets of similar scale and across runs.
-        p_pad, v_pad, nb, nbl = pe_pad_shapes(p, b, v, n)
+        # across datasets of similar scale and across runs.  Streamed
+        # builds (the table NEVER moves to device — the HBM-wall mode,
+        # VERDICT r3 item 1) pad to block multiples only.
+        p_pad, v_pad, nb, nbl = pe_pad_shapes(p, b, v, n, pow2=resident)
         self.nb_local = nbl
         nb_pad = n * nbl
         self.num_blocks = nb
         ent_rows = nb_pad * b
+        # Streamed phase-2 dispatches upload their chunk rows through
+        # the relay pipe — cap the chunk so one dispatch moves ≤ ~2 MB.
+        self.k_chunk = (min(256, _chunk_k(nbl)) if self.streamed
+                        else _chunk_k(nbl))
 
         t0 = _time.perf_counter()
 
@@ -548,7 +622,19 @@ class DevicePackedPESearch:
             return blk_ub, blk_llo, blk_lhi, blk_deg
 
         vids_sharding = NamedSharding(mesh, P(None, axis))
-        if preuploaded is not None:
+        if not resident:
+            # ---- streamed build: summaries folded on HOST, table
+            # stays host-resident (the reference's disk-paged R-tree
+            # property — blk_file.cpp:22-62 — re-landed as
+            # host-RAM-paged leaves: phase 2 uploads only surviving
+            # chunks, so index size is bounded by host RAM, not HBM).
+            t0 = _time.perf_counter()
+            blk_ub, blk_llo, blk_lhi, blk_deg = _host_fold_summaries(
+                hv, vde_up, x_up, x_dn, degv, b)
+            t_compile = 0.0
+            self.d_vids = None
+            self.d_labels = self.d_degrees = self.d_pde3 = None
+        elif preuploaded is not None:
             # Streamed-build path (VERDICT r3 item 4): the UNSORTED
             # vid table already lives on device (ChunkUploader fed it
             # during enumeration), so the only transfer left on the
@@ -804,6 +890,39 @@ class DevicePackedPESearch:
 
         return jax.jit(run)
 
+    def _build_phase2_stream(self, k: int):
+        """Streamed leaf pass: the chunk's vid rows arrive as an INPUT
+        (host-gathered from the RAM-resident sorted table and uploaded
+        per dispatch) — the device never holds the full leaf table.
+        This is what removes the HBM ceiling on index size (the
+        reference's analogue is the page-on-demand R-tree read,
+        blk_file.cpp:155-208)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        b = self.block_size
+
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis),
+                      P(), P(), (P(),) * 3, (P(),) * 5),
+            out_specs=P(None, self.axis))
+        def run(gvs, bqm, ql, qd, qt3, tables):
+            labv, degv, vh, vm, vl = tables
+            gv = gvs                                 # [K·B, L] local
+            flat = gv.reshape(-1)
+            gl = jnp.take(labv, flat).reshape(gv.shape)
+            gd = jnp.take(degv, flat).reshape(gv.shape)
+            gp3 = tuple(
+                jnp.take(t, flat, axis=0).reshape(gv.shape[0], -1)
+                for t in (vh, vm, vl))
+            m = pe_mask_device_exact(gl, gd, gp3, ql, qd, qt3)
+            gate = jnp.repeat(bqm[0].T, b, axis=1,
+                              total_repeat_length=gv.shape[0])
+            return _pack_mask(m & gate)
+
+        return jax.jit(run)
+
     def _build_phase2_bitmap_tbl(self, k: int, num_vertices: int,
                                  l: int, nq: int):
         import jax
@@ -883,19 +1002,18 @@ class DevicePackedPESearch:
         import jax.numpy as jnp
         t0 = _time.perf_counter()
         n = self.mesh.shape[self.axis]
-        k = _chunk_k(self.nb_local)
+        k = self.k_chunk
+        b = self.block_size
         dp = int(self.b_ub3[0].shape[-1])
-        if self.table_mode:
-            l = int(self.d_vids.shape[0])
-        else:
-            l = int(self._host_vids.shape[1])
+        l = int(self._host_vids.shape[1])
         if self._phase1 is None:
             self._phase1 = self._build_phase1()
         if k not in self._phase2:
-            self._phase2[k] = (self._build_phase2_tbl(k)
-                               if self.table_mode
-                               else self._build_phase2(k))
-        fused = self.nb_local <= k
+            self._phase2[k] = (
+                self._build_phase2_stream(k) if self.streamed
+                else self._build_phase2_tbl(k) if self.table_mode
+                else self._build_phase2(k))
+        fused = self.nb_local <= k and not self.streamed
         if fused and "fused" not in self._phase2:
             self._phase2["fused"] = self._build_fused()
         for qb in qbs:
@@ -920,7 +1038,11 @@ class DevicePackedPESearch:
                                     qt3, qt3, qd))
             sel = jnp.zeros((n, k), jnp.int32)
             bqm = jnp.zeros((n, k, qb), bool)
-            if self.table_mode:
+            if self.streamed:
+                gvs = jnp.zeros((n * k * b, l), jnp.int32)
+                np.asarray(self._phase2[k](
+                    gvs, bqm, ql, qd, qt3, self._tables))
+            elif self.table_mode:
                 np.asarray(self._phase2[k](
                     self.d_vids, sel, bqm, ql, qd, qt3, self._tables))
             else:
@@ -958,7 +1080,8 @@ class DevicePackedPESearch:
         # Small-index fast path: every shard's blocks fit one chunk →
         # fuse block mask + leaf test into a single dispatch (no host
         # round trip between phases; each costs ~40 ms on the relay).
-        if union == "host" and self.nb_local <= _chunk_k(self.nb_local):
+        if union == "host" and not self.streamed \
+                and self.nb_local <= self.k_chunk:
             if "fused" not in self._phase2:
                 self._phase2["fused"] = self._build_fused()
             if self.table_mode:
@@ -1003,7 +1126,7 @@ class DevicePackedPESearch:
         sel_per = [np.nonzero(any_blk[s * nbl:(s + 1) * nbl])[0]
                    for s in range(n)]
         kmax = max((len(s) for s in sel_per), default=0)
-        k = _chunk_k(nbl)
+        k = self.k_chunk
         self.last_stats = dict(
             blocks=self.num_blocks, phase1=blocks_phase1,
             survived=int(any_blk.sum()), kmax=int(kmax),
@@ -1025,6 +1148,11 @@ class DevicePackedPESearch:
             return sel, jnp.asarray(sel), jnp.asarray(bqm)
 
         if union == "device":
+            if self.streamed:
+                raise ValueError(
+                    "device-bitmap union is not available in streamed "
+                    "mode (the leaf rows are uploaded per chunk; use "
+                    "union='host')")
             q_vids = padq(query_pde.vids[rows], 0)
             l = q_vids.shape[1]
             nv = int(self._host_vids.max(initial=0)) + 1
@@ -1052,13 +1180,30 @@ class DevicePackedPESearch:
                     for i in range(num_query_vertices)]
 
         if k not in self._phase2:
-            self._phase2[k] = (self._build_phase2_tbl(k)
-                               if self.table_mode
-                               else self._build_phase2(k))
+            self._phase2[k] = (
+                self._build_phase2_stream(k) if self.streamed
+                else self._build_phase2_tbl(k) if self.table_mode
+                else self._build_phase2(k))
         masks, gcols_parts = [], []
         for c in range(num_chunks):
             sel, selj, bqmj = chunk_inputs(c)
-            if self.table_mode:
+            # Map mask columns back to global entry rows.
+            gcols = np.concatenate(
+                [((s * nbl + sel[s])[:, None] * b
+                  + np.arange(b)[None]).reshape(-1) for s in range(n)])
+            gcols_parts.append(gcols)
+            if self.streamed:
+                # HBM-wall mode: upload ONLY this chunk's leaf rows,
+                # host-gathered from the RAM-resident sorted table.
+                import jax
+                from jax.sharding import (NamedSharding,
+                                          PartitionSpec as P)
+                gvj = jax.device_put(
+                    np.ascontiguousarray(self._host_vids[gcols]),
+                    NamedSharding(self.mesh, P(self.axis)))
+                masks.append(_unpack_mask(self._phase2[k](
+                    gvj, bqmj, ql, qd, qt3, self._tables), q))
+            elif self.table_mode:
                 masks.append(_unpack_mask(self._phase2[k](
                     self.d_vids, selj, bqmj, ql, qd, qt3,
                     self._tables), q))
@@ -1066,10 +1211,6 @@ class DevicePackedPESearch:
                 masks.append(_unpack_mask(self._phase2[k](
                     self.d_labels, self.d_degrees, self.d_pde3,
                     self.d_vids, selj, bqmj, ql, qd, qt3), q))
-            # Map mask columns back to global entry rows.
-            gcols_parts.append(np.concatenate(
-                [((s * nbl + sel[s])[:, None] * b
-                  + np.arange(b)[None]).reshape(-1) for s in range(n)]))
         mask = np.concatenate(masks, axis=1)
         gcols = np.concatenate(gcols_parts)
         return extract_candidates(mask, self._host_vids[gcols],
@@ -1139,6 +1280,7 @@ class DevicePackedPGESearch:
                 np.minimum(np.arange(1, nb_real + 1) * b, nv) - 1]
         self._blk_lab_first = bf
         self._blk_lab_last = bl
+        self.k_chunk = _chunk_k(nbl)
         self.last_stats = None
         # Device copy of the entry→vertex map for the bitmap union
         # (int32; pads are -1 and masked in-kernel).
@@ -1284,7 +1426,7 @@ class DevicePackedPGESearch:
         import jax.numpy as jnp
         t0 = _time.perf_counter()
         n = self.mesh.shape[self.axis]
-        k = _chunk_k(self.nb_local)
+        k = self.k_chunk
         dp = int(self.b_gub3[0].shape[-1])
         fused = self.nb_local <= k
         if fused and "fused" not in self._phase2:
@@ -1341,7 +1483,7 @@ class DevicePackedPGESearch:
         qlhi3 = limbs(q_label_group[:, 1, :])
 
         # Small-index fast path: one fused dispatch (see PE search).
-        if union == "host" and self.nb_local <= _chunk_k(self.nb_local):
+        if union == "host" and self.nb_local <= self.k_chunk:
             if "fused" not in self._phase2:
                 self._phase2["fused"] = self._build_fused()
             mask = _unpack_mask(self._phase2["fused"](
@@ -1378,7 +1520,7 @@ class DevicePackedPGESearch:
         sel_per = [np.nonzero(any_blk[s * nbl:(s + 1) * nbl])[0]
                    for s in range(n)]
         kmax = max((len(s) for s in sel_per), default=0)
-        k = _chunk_k(nbl)
+        k = self.k_chunk
         self.last_stats = dict(
             blocks=len(self._blk_lab_first), phase1=blocks_phase1,
             survived=int(any_blk.sum()), kmax=int(kmax),

@@ -135,3 +135,48 @@ def pge_candidates(d_labels: np.ndarray, d_degrees: np.ndarray,
                >= eps_threshold(q_group[j, 0, :], epsilon)).all(-1)
         out.append(np.sort(ids[ok & overlap & dom]))
     return out
+
+
+def pe_candidates_chunked(vertices, paths: np.ndarray,
+                          query: PathEmbeddings,
+                          plan_rows: np.ndarray,
+                          num_query_vertices: int,
+                          epsilon: float = EPSILON,
+                          chunk: int = 1 << 22) -> List[np.ndarray]:
+    """Flat exact PE filter streamed over path chunks — the spot-check
+    oracle for billion-path rungs, where materializing the full f64
+    PathEmbeddings (gen_pde) would cost tens of GB of host RAM.
+
+    Semantically identical to ``pe_candidates(gen_pde(vertices,
+    paths), ...)``: per chunk it applies label equality and the degree
+    bound first (cheap int compares), then the f64 ε-slack dominance
+    test on survivors only (custom.h:401-438 order of tests, same
+    eps_threshold)."""
+    rows = np.asarray(plan_rows)
+    out_sets: List[List[np.ndarray]] = [
+        [] for _ in range(num_query_vertices)]
+    q_labels = query.labels[rows]
+    q_deg = query.degrees[rows]
+    q_thresh = eps_threshold(query.pde[rows], epsilon)
+    q_vids = query.vids[rows]
+    labs, degs, vde = vertices.labels, vertices.degrees, vertices.vde
+    l = paths.shape[1]
+    d = vde.shape[1]
+    for lo in range(0, len(paths), chunk):
+        pc = paths[lo:lo + chunk]
+        pl = labs[pc]
+        pd = degs[pc]
+        for qi in range(len(rows)):
+            m = ((pl == q_labels[qi]).all(-1) &
+                 (pd >= q_deg[qi]).all(-1))
+            if not m.any():
+                continue
+            hit_rows = pc[m]
+            pde = vde[hit_rows].reshape(len(hit_rows), l * d)
+            ok = (pde >= q_thresh[qi]).all(-1)
+            hit = hit_rows[ok]
+            if len(hit):
+                for k in range(l):
+                    out_sets[int(q_vids[qi, k])].append(hit[:, k])
+    return [np.unique(np.concatenate(s).astype(np.int64))
+            if s else np.zeros(0, dtype=np.int64) for s in out_sets]

@@ -82,7 +82,8 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
                             num_vertices_per_path: int, vertices,
                             mesh, block_size: int = 512,
                             chunk_starts: int = 16384,
-                            workers: int = 8):
+                            workers: int = 8,
+                            resident=None):
     """Pipelined PE offline stage THROUGH index build (VERDICT r2 item
     6): thread-parallel chunked enumeration overlapped with per-chunk
     sort-key computation, then one global dedup + stable argsort +
@@ -138,10 +139,21 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
         known_p = int((deg_all * (deg_all - 1)).sum()) // 2
     else:
         known_p = None
+    # Capacity model (VERDICT r3 item 1): the device-resident leaf
+    # table costs l·p_pad·4 bytes of HBM; past the budget the build
+    # switches to STREAMED mode — sorted table host-RAM-resident,
+    # summaries folded on host, phase 2 uploads surviving chunks per
+    # dispatch.  The reference has the same property via its
+    # disk-paged R-tree (blk_file.cpp), just ~10^3× slower media.
+    from gnnpe_tpu.index.device_packed import auto_resident
+    n_sh = mesh.shape["graph"]
+    if resident is None:
+        resident = (True if known_p is None else auto_resident(
+            known_p, num_vertices_per_path, block_size,
+            graph.num_vertices, n_sh))
     uploader = None
     prewarm = None
-    if known_p is not None and known_p > 0:
-        n_sh = mesh.shape["graph"]
+    if resident and known_p is not None and known_p > 0:
         p_pad, _, _, _ = pe_pad_shapes(known_p, block_size,
                                        graph.num_vertices, n_sh)
         uploader = ChunkUploader(mesh, num_vertices_per_path, p_pad,
@@ -214,10 +226,12 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
         # back to the whole-table upload rather than build a bad index)
     idx = DevicePackedPESearch.build_from_paths(
         mesh, paths, vertices, block_size=block_size,
-        precomputed_key=keys, preuploaded=preuploaded)
+        precomputed_key=keys, preuploaded=preuploaded,
+        resident=resident)
     t_build = time.perf_counter() - t0
     timings = {"enum_keys_s": round(t_enum_keys, 2),
                "dedup_s": round(t_dedup, 2),
                "build_s": round(t_build, 2),
-               "total_s": round(time.perf_counter() - t_all, 2)}
+               "total_s": round(time.perf_counter() - t_all, 2),
+               "mode": "resident" if resident else "streamed"}
     return paths, idx, timings

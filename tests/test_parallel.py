@@ -419,3 +419,23 @@ def test_pge_chunked_label_prune_parity(data_graph, query_graph,
     for a, b in zip(r.candidates, rd.candidates):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert rd.answer_count == r.answer_count
+
+
+def test_streamed_index_parity(data_graph, query_graph, golden_meta):
+    """Streamed (HBM-wall) mode — sorted table host-RAM-resident,
+    phase-2 leaf chunks uploaded per dispatch — must produce the exact
+    45,426 golden answer and candidate sets (VERDICT r3 item 1)."""
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.engine import PEEngine
+    from gnnpe_tpu.index.device_packed import DevicePackedPESearch
+    eng = PEEngine(PEConfig.from_cli(l=2, e=2, p=5),
+                   data_graph).offline().build_index(packed=False)
+    mesh = make_mesh(8, axes=("graph",), shape=(8,))
+    eng.sharded = DevicePackedPESearch.build_from_paths(
+        mesh, eng.paths, eng.vertices, resident=False)
+    assert eng.sharded.streamed and eng.sharded.d_vids is None
+    assert eng.sharded.warm() >= 0
+    r = eng.online(query_graph, engine="python")
+    assert r.answer_count == golden_meta["pe"]["answer_number"]
+    assert [len(c) for c in r.candidates] == \
+        golden_meta["pe"]["candidate_sizes"]
