@@ -61,9 +61,9 @@ def evaluate(eng, queries):
 def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
         steps: int = 300, vde_dim: int = 2, l: int = 2, seed: int = 0,
         packed: bool = True, learning_rate: float = 1e-2,
-        max_answers: int = 100_000) -> list:
-    from gnnpe_tpu.config import PGEConfig
-    from gnnpe_tpu.engine import PGEEngine
+        max_answers: int = 100_000, variant: str = "pge") -> list:
+    from gnnpe_tpu.config import PEConfig, PGEConfig
+    from gnnpe_tpu.engine import PEEngine, PGEEngine
     from gnnpe_tpu.graph.partition import degree_sorted_nodes
     from gnnpe_tpu.io.datasets import load_dataset, sample_query
     from gnnpe_tpu.models.embedder import model_embedder
@@ -75,14 +75,32 @@ def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
     # Cap refinement emission (the ref -n flag): ladder-rung queries
     # average ~2.5e9 matches — uncapped, evaluate() measures match
     # ENUMERATION, and the payoff under test is the filter.
-    cfg = PGEConfig.from_cli(l=l, e=vde_dim, p=5, n=max_answers)
+    if variant == "pge":
+        cfg = PGEConfig.from_cli(l=l, e=vde_dim, p=5, n=max_answers)
+    else:
+        # PE variant (VERDICT r3 item 9): answer counts are asserted
+        # equal under the same emission cap — the 45,426-parity
+        # semantics.  (PE counts are candidate-set-dependent in
+        # principle — see the module docstring — so an equality
+        # failure here would be the reference's own non-exactness
+        # surfacing, and the assert makes it loud, not silent.)
+        cfg = PEConfig.from_cli(l=l, e=vde_dim, p=5, n=max_answers)
+
+    def make_engine(embedder=None):
+        if variant == "pge":
+            return PGEEngine(cfg, g, embedder=embedder).offline(
+                packed=packed)
+        return PEEngine(cfg, g, embedder=embedder).offline() \
+            .build_index(packed=packed)
+
     # Held-out queries: seeds disjoint from the training graph sampling
     # (training pairs come from data paths, not from these queries).
     qs = [sample_query(g, query_size, tree=True, seed=10_000 + seed + i)
           for i in range(queries)]
 
-    fixed = PGEEngine(cfg, g).offline(packed=packed)
+    fixed = make_engine()
     base = evaluate(fixed, qs)
+    del fixed         # dblp-scale PE keeps ~12 GB of f64 tables alive
     print(f"[payoff:{dataset}] fixed VDE: cands={base['cand_sum_mean']:.0f} "
           f"p50={base['online_p50_ms']:.0f}ms", file=sys.stderr)
 
@@ -93,7 +111,8 @@ def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
     # paths give the pair sampler the same structure at training cost
     # O(sample), not O(P) (VERDICT r2 item 4).
     train_paths, _ = enumerate_paths(g, degree_sorted_nodes(g),
-                                     max(l + 1, 2), dedup=True)
+                                     max(l + 1, 2) if variant == "pge"
+                                     else cfg.path_length, dedup=True)
     max_train_paths = 500_000
     if len(train_paths) > max_train_paths:
         sel = np.random.RandomState(seed + 3).choice(
@@ -108,9 +127,7 @@ def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
                 batch_size=1024, seed=seed, negatives=True,
                 learning_rate=learning_rate, aggregation=aggregation)
     train_s = time.time() - t0
-    trained = PGEEngine(cfg, g,
-                        embedder=model_embedder(model, state.params)
-                        ).offline(packed=packed)
+    trained = make_engine(model_embedder(model, state.params))
     tr = evaluate(trained, qs)
     assert tr["answers"] == base["answers"], \
         f"exactness violated: {tr['answers']} vs {base['answers']}"
@@ -121,12 +138,13 @@ def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
           f"train={train_s:.0f}s loss {state.history[0]:.4f}->"
           f"{state.history[-1]:.4f}", file=sys.stderr)
     rows = [
-        dict(dataset=dataset, variant="pge", embedder="fixed-vde",
+        dict(dataset=dataset, variant=variant, embedder="fixed-vde",
              vde_dim=vde_dim, l=l, queries=queries,
              **{k: round(v, 1) for k, v in
                 base.items() if k != "answers"},
              answers_ok=True),
-        dict(dataset=dataset, variant="pge", embedder="trained-pathgnn",
+        dict(dataset=dataset, variant=variant,
+             embedder="trained-pathgnn",
              vde_dim=vde_dim, l=l, queries=queries,
              **{k: round(v, 1) for k, v in tr.items()
                 if k != "answers"},
@@ -150,10 +168,11 @@ def write_training_md(all_rows, path="TRAINING.md"):
         "(exactness is structural; reference embedding at",
         "custom.h:492-544 is the baseline).",
         "",
-        "| dataset | embedder | D | mean Σ\\|cands\\| | reduction "
+        "| dataset | variant | embedder | D | mean Σ\\|cands\\| "
+        "| reduction "
         "| search p50 (min–max) ms | refine p50 (min–max) ms "
         "| online p50 ms |",
-        "|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in all_rows:
         red = (f"**-{r['candidate_reduction_pct']}%**"
@@ -167,7 +186,8 @@ def write_training_md(all_rows, path="TRAINING.md"):
             return f"{r[f'{stem}_p50_ms']:.1f}"
 
         lines.append(
-            f"| {r['dataset']} | {r['embedder']} | {r['vde_dim']} | "
+            f"| {r['dataset']} | {r.get('variant', 'pge')} | "
+            f"{r['embedder']} | {r['vde_dim']} | "
             f"{r['cand_sum_mean']:.0f} | {red} | "
             f"{rng('search')} | {rng('refine')} | "
             f"{r['online_p50_ms']:.1f} |")
@@ -191,6 +211,8 @@ def main(argv=None):
     ap.add_argument("--l", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-answers", type=int, default=100_000)
+    ap.add_argument("--variant", default="pge",
+                    choices=["pe", "pge"])
     ap.add_argument("--out", default="TRAINING.json")
     ap.add_argument("--md", default="TRAINING.md")
     args = ap.parse_args(argv)
@@ -201,11 +223,19 @@ def main(argv=None):
                             steps=args.steps, vde_dim=args.vde_dim,
                             l=args.l, seed=args.seed,
                             learning_rate=args.lr,
-                            max_answers=args.max_answers))
+                            max_answers=args.max_answers,
+                            variant=args.variant))
     with open(args.out, "a") as f:
         for r in all_rows:
             f.write(json.dumps(r) + "\n")
-    write_training_md(all_rows, args.md)
+    # Regenerate the table of record from the FULL accumulated file —
+    # a single-variant rerun must not drop earlier rows from the md.
+    try:
+        with open(args.out) as f:
+            md_rows = [json.loads(line) for line in f if line.strip()]
+    except OSError:
+        md_rows = all_rows
+    write_training_md(md_rows, args.md)
     print(json.dumps(all_rows))
 
 

@@ -176,6 +176,12 @@ LADDER: Dict[str, dict] = {
                      max_degree=343),
     "youtube":  dict(v=1_134_890, e=2_987_624, labels=25, alpha=0.85,
                      max_degree=4096),
+    # The REAL YouTube hub skew: max degree uncapped to the published
+    # 28,754 (VERDICT r3 item 2).  The 28k hub alone carries ~8.3e8
+    # 3-vertex paths through it; PE copes via streamed mode + cost-
+    # balanced enumeration chunks, PGE via the O(V) streamed fold.
+    "youtube_skew": dict(v=1_134_890, e=2_987_624, labels=25,
+                         alpha=0.85, max_degree=28_754),
     "patents":  dict(v=3_774_768, e=16_518_948, labels=20, alpha=0.7,
                      max_degree=793),
     "synth100m": dict(v=20_000_000, e=100_000_000, labels=32,

@@ -186,8 +186,40 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
         t_enum_keys = time.perf_counter() - t_all
         t_dedup = 0.0
     else:
-        chunks = [order[lo:lo + chunk_starts]
-                  for lo in range(0, len(order), chunk_starts)]
+        # Cost-balanced chunking: starts are degree-SORTED, so fixed
+        # start-count chunks put nearly all paths in the last few
+        # chunks (a 4096-degree start yields ~16.7M 3-vertex paths);
+        # with 8 in-flight workers that is an OOM.  Split by estimated
+        # per-start path cost (deg·(deg-1) for 3-vertex paths) so each
+        # chunk holds ≤ ~32M paths regardless of where it falls.
+        if num_vertices_per_path == 3:
+            # EXACT directed 3-path count per start v:
+            # Σ_{w∈N(v)} (deg(w)-1).  (deg_v·(deg_v-1) is the per-
+            # MIDDLE count — it misses that a 28k-degree hub puts its
+            # ~8e8 paths on its *neighbors'* start chunks, which is
+            # precisely the youtube_skew failure mode.)
+            contrib = np.maximum(
+                deg_all[graph.neighbors.astype(np.int64)] - 1, 0)
+            cum_e = np.concatenate([[0], np.cumsum(contrib)])
+            per_start = (cum_e[graph.offsets[1:]]
+                         - cum_e[graph.offsets[:-1]])
+            cost = per_start[order].astype(np.int64)
+        else:
+            cost = np.maximum(
+                deg_all[order].astype(np.float64)
+                ** (num_vertices_per_path - 1), 1.0).astype(np.int64)
+        cum = np.cumsum(cost)
+        chunk_paths = 32_000_000
+        ncut = max(1, int(cum[-1] // chunk_paths))
+        cuts = np.searchsorted(
+            cum, np.arange(1, ncut + 1) * chunk_paths)
+        starts_cuts = np.arange(chunk_starts, len(order), chunk_starts)
+        bounds = np.unique(np.concatenate(
+            [cuts, starts_cuts, [len(order)]]))
+        bounds = bounds[(bounds > 0) & (bounds <= len(order))]
+        chunks = [order[lo:hi] for lo, hi in
+                  zip(np.concatenate([[0], bounds[:-1]]), bounds)
+                  if hi > lo]
 
         def work(c):
             # Dedup is ROW-LOCAL (rank[first] < rank[last]), so it
