@@ -244,6 +244,11 @@ def pe_pad_shapes(p: int, block_size: int, num_vertices: int,
     v_pad = _bucket(num_vertices + 1)
     nb = p_pad // block_size
     nbl = max(1, -(-nb // n_shards))
+    if not pow2:
+        # 32-align the per-shard block count so the phase-1 mask
+        # packs to a uint32 bitmap (18 MB -> 0.6 MB per query at the
+        # youtube-l2 rung's 2.3M blocks through the ~38 MB/s pipe).
+        nbl = -(-nbl // 32) * 32
     return p_pad, v_pad, nb, nbl
 
 
@@ -526,10 +531,10 @@ class DevicePackedPESearch:
         nb_pad = n * nbl
         self.num_blocks = nb
         ent_rows = nb_pad * b
-        # Streamed phase-2 dispatches upload their chunk rows through
-        # the relay pipe — cap the chunk so one dispatch moves ≤ ~2 MB.
-        self.k_chunk = (min(256, _chunk_k(nbl)) if self.streamed
-                        else _chunk_k(nbl))
+        # Streamed phase-2 dispatches upload K·B·l·4 bytes each; the
+        # _chunk_k ceiling (1024 blocks ≈ 6 MB at l=3) amortizes the
+        # ~40 ms dispatch + ~165 ms transfer per round trip.
+        self.k_chunk = _chunk_k(nbl)
 
         t0 = _time.perf_counter()
 
@@ -756,7 +761,9 @@ class DevicePackedPESearch:
                       ge3(*(a[None] for a in lhi3),
                           *(a[:, None, :] for a in qlbl3))).all(-1)
             deg = (qdeg[:, None, :] <= bdeg[None]).all(-1)
-            return dom & inside & deg
+            # Packed bitmap when 32 | nbl: the [Q, NB] mask is the
+            # dominant device->host transfer at million-block scale.
+            return _pack_mask(dom & inside & deg)
 
         return jax.jit(run)
 
@@ -1099,9 +1106,9 @@ class DevicePackedPESearch:
 
         if self._phase1 is None:
             self._phase1 = self._build_phase1()
-        bmask = np.asarray(self._phase1(
+        bmask = _unpack_mask(np.asarray(self._phase1(
             self.b_ub3, self.b_llo3, self.b_lhi3, self.b_deg,
-            qt3, qlbl3, qd))[:q]          # [q, NB_pad]
+            qt3, qlbl3, qd)), q)          # [q, NB_pad]
         blocks_phase1 = int(bmask.any(axis=0).sum())
 
         # Signature-range prune (table mode): exact-label matches of a
@@ -1307,7 +1314,7 @@ class DevicePackedPGESearch:
                        ge3(*(a[:, None, :] for a in qlhi3),
                            *(a[None] for a in llo3))).all(-1)
             deg = qdeg[:, None] <= bdeg[None]
-            return dom & overlap & deg
+            return _pack_mask(dom & overlap & deg)
 
         return jax.jit(run)
 
@@ -1499,9 +1506,9 @@ class DevicePackedPGESearch:
 
         if self._phase1 is None:
             self._phase1 = self._build_phase1()
-        bmask = np.asarray(self._phase1(
+        bmask = _unpack_mask(np.asarray(self._phase1(
             self.b_gub3, self.b_llo3, self.b_lhi3, self.b_deg,
-            qglo3, qllo3, qlhi3, qd))[:q]
+            qglo3, qllo3, qlhi3, qd)), q)
         blocks_phase1 = int(bmask.any(axis=0).sum())
 
         # Label-range prune: blocks are label-sorted, so only the
