@@ -149,32 +149,53 @@ def bench_aggregation(num_vertices=100_000, num_edges=800_000,
 
     # ---- kernel-proven gather-bound roofline (same run, same chip) --
     if layout is not None:
+        # The full slot list of the layout: every class gather AND
+        # every head fold LEVEL (apply_perm chains gathers through
+        # all of head_tables, not just level 0 — pricing only the
+        # first level overstated the roofline).  Level-k indices
+        # address intermediate buffers; clamp into x's rows — the
+        # probe times the access pattern, not the values.
         parts = [t.reshape(-1) for t in layout.class_tables]
-        if layout.head_tables:
-            parts.append(layout.head_tables[0].reshape(-1))
-        flat = np.concatenate(parts)
+        parts += [t.reshape(-1) for t in layout.head_tables]
+        flat = np.minimum(np.concatenate(parts),
+                          num_vertices - 1)
         gidx = jnp.asarray(flat.astype(np.int32))
 
         def probe(h):
             g = jnp.take(h, gidx, axis=0).sum(0, keepdims=True)
             return jnp.broadcast_to(g * 1e-9, h.shape) + h
-        t_stream = _step_time(lambda h: h + 1.0, x)
+        # Long differencing spreads (104 vs the default 44): the
+        # roofline denominators need ~2× less jitter than the
+        # aggregation numerator or the recorded fraction swings ±0.08
+        # run to run (observed round 4: roofline 372 vs 425 M edges/s
+        # for identical code).
+        t_stream = _step_time(lambda h: h + 1.0, x, long_iters=104)
         # Floor: a gather cannot beat spec HBM bandwidth on its bytes.
         t_floor = len(flat) * dim * 4 / _chip_bandwidth_bytes()
-        t_gather = max(_step_time(probe, x) - t_stream, t_floor)
+        t_gather = max(_step_time(probe, x, long_iters=104) - t_stream,
+                       t_floor)
         hub_t = 0.0
         if layout.hub_rows is not None and len(layout.hub_rows):
             def hub_probe(h):
                 p = layout._hub_part(h)
                 return jnp.broadcast_to(p[:1] * 1e-9, h.shape) + h
-            hub_t = max(_step_time(hub_probe, x) - t_stream, 0.0)
-        roof_dt = t_gather + hub_t
-        gather_roofline = num_edges / roof_dt
+            hub_t = max(_step_time(hub_probe, x, long_iters=104)
+                        - t_stream, 0.0)
+        # Two bounds: the ADDITIVE sum (gather then hub, no overlap —
+        # the round-1..3 model) and the OVERLAP bound max(gather, hub)
+        # (gather engine and MXU are different units; a perfect
+        # implementation overlaps them, so the sum is not a true
+        # ceiling once the hub share grows — measured round 4: the
+        # fused apply BEAT the additive model at 1.04).  vs_baseline
+        # reports the strict overlap bound.
+        roof_add = num_edges / (t_gather + hub_t)
+        gather_roofline = num_edges / max(t_gather, hub_t)
         frac = edges_per_sec / gather_roofline
         print(f"[bench] gather probe {len(flat)} rows in "
               f"{t_gather*1e3:.3f} ms ({len(flat)/max(t_gather,1e-9)/1e6:.0f}"
-              f" M rows/s), hub {hub_t*1e3:.3f} ms -> gather-bound "
-              f"roofline {gather_roofline/1e6:.0f} M edges/s",
+              f" M rows/s), hub {hub_t*1e3:.3f} ms -> overlap roofline "
+              f"{gather_roofline/1e6:.0f} M edges/s (additive "
+              f"{roof_add/1e6:.0f}, frac {edges_per_sec/roof_add:.3f})",
               file=sys.stderr)
     else:
         gather_roofline = None

@@ -62,6 +62,9 @@ def _bucket(n: int, lo: int = 1) -> int:
 # chunk scales with the index — nbl/64, clamped to [64, 1024] — so a
 # dblp-sized index (262k blocks) doesn't pay dozens of ~40 ms relay
 # dispatches per heavy query (the round-3 5.5 s p90).
+# K ceiling measured on-chip (round 4, dblp resident): 1024 beats
+# 2048 — the bigger dispatch's extra leaf rows and 2× mask download
+# cost more than the saved round trips once chunks pipeline async.
 _K_CHUNK_MIN = 64
 _K_CHUNK_MAX = 1024
 

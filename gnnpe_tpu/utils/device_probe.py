@@ -91,23 +91,36 @@ def _probe(kind: str) -> Tuple[float, float, float]:
     d = 128
     x = jnp.asarray(np.random.RandomState(0).rand(rows, d)
                     .astype(np.float32))
-    # Dense stream: read+write 2·bytes per element.
-    t_stream = _step_time(lambda h: h + 1.0, x)
+    # Dense stream: read+write 2·bytes per element.  The long/short
+    # spread must clear the relay's ±few-ms dispatch noise: at 67 MB
+    # per iteration one v5e stream pass is ~0.16 ms, so 128 extra
+    # iterations ≈ 20 ms of signal (round-4 fix: 8 extra iterations
+    # sat inside the noise and the differenced time clamped to the
+    # 1e-12 floor, yielding a 1.3e20 B/s "measurement").
+    t_stream = _step_time(lambda h: h + 1.0, x, short=8, long=136)
     bw = 2 * rows * d * 4 / t_stream
-    # Row gather (random permutation, same buffer size); idx is a jit
-    # ARGUMENT, not a closure constant (ADVICE r3 item 1).
-    idx = jnp.asarray(np.random.RandomState(1).permutation(rows)
-                      .astype(np.int32))
-    t_gather = _step_time(lambda h, i: jnp.take(h, i, axis=0), x,
-                          aux=(idx,))
-    gather_row_s = t_gather / rows
-    # bf16 matmul flops.
-    m = 1024 if on_tpu else 256
+    # Row gather; idx is a jit ARGUMENT, not a closure constant
+    # (ADVICE r3 item 1).  Sampled WITH replacement — adjacency slot
+    # lists hit rows with multiplicity, and a pure permutation gather
+    # measured ~1.8× faster than the real slot-list pattern (round
+    # 4), which skewed the hub-pricing economics.
+    nidx = 4 * rows
+    idx = jnp.asarray(np.random.RandomState(1)
+                      .randint(0, rows, nidx).astype(np.int32))
+
+    def g(h, i):
+        out = jnp.take(h, i, axis=0)
+        return h + out[:rows] * 1e-9
+    t_gather = _step_time(g, x, aux=(idx,), short=8, long=72)
+    gather_row_s = t_gather / nidx
+    # bf16 matmul flops (2048³·2 = 17 GFLOP/iter — ~0.09 ms on a
+    # v5e, so the 128-iteration spread is ~11 ms of signal).
+    m = 2048 if on_tpu else 256
     a = jnp.asarray(np.random.RandomState(2).rand(m, m)
                     .astype(np.float32)).astype(jnp.bfloat16)
     t_mm = _step_time(
         lambda h, w: (h @ w).astype(jnp.bfloat16),
-        a.astype(jnp.bfloat16), aux=(a,))
+        a.astype(jnp.bfloat16), aux=(a,), short=8, long=136)
     flops = 2 * m ** 3 / t_mm
     return float(bw), float(flops), float(gather_row_s)
 
@@ -133,6 +146,12 @@ def device_constants() -> Tuple[float, float, float]:
         disk = {}
     try:
         vals = _probe(kind)
+        # Plausibility clamp: a probe constant more than 8× off the
+        # spec table is a measurement failure (relay noise), not a
+        # faster chip — fall back per-constant, keep the sane ones.
+        tbl = _table_lookup(kind)
+        vals = tuple(v if t / 8 <= v <= t * 8 else t
+                     for v, t in zip(vals, tbl))
     except Exception:
         return _table_lookup(kind)
     try:
