@@ -711,6 +711,100 @@ class DevicePackedPESearch:
         self._phase2_bitmap = {}
         return self
 
+    def save(self, path: str) -> None:
+        """Persist a table/streamed-mode index: the host sorted vid
+        table, the (small) block summaries pulled off device, and the
+        sig ranges — everything needed to re-serve without the
+        enumerate/sort/fold build (30 min at the youtube-l2 rung).
+        The reference's analogue is its index.dat reload
+        (custom.h:218-234); per-vertex tables are NOT stored — they
+        rebuild from the embeddings in seconds at load."""
+        assert self.table_mode, "save() is for table/streamed modes"
+        np.savez(path,
+                 host_vids=self._host_vids,
+                 blk_ub=np.asarray(self.b_ub3[0]),
+                 blk_llo=np.asarray(self.b_llo3[0]),
+                 blk_lhi=np.asarray(self.b_lhi3[0]),
+                 blk_deg=np.asarray(self.b_deg),
+                 blk_sig_first=self._blk_sig_first,
+                 blk_sig_last=self._blk_sig_last,
+                 meta=np.array([self.num_entries, self.block_size,
+                                self.num_blocks, self.nb_local,
+                                int(self.streamed), self._sig_radix],
+                               np.int64))
+
+    @classmethod
+    def load(cls, mesh, path: str, vertices, axis: str = "graph",
+             base_epsilon: float = 1e-6) -> "DevicePackedPESearch":
+        """Reload a saved table/streamed index onto ``mesh``.  The
+        mesh shard count must divide the saved block layout (save and
+        load with the same mesh width)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from gnnpe_tpu.utils.compile_cache import \
+            enable_persistent_cache
+        enable_persistent_cache()
+        z = np.load(path)
+        p, b, nb, nbl, streamed, sig_radix = (int(x)
+                                              for x in z["meta"])
+        self = cls.__new__(cls)
+        self.table_mode = True
+        self.streamed = bool(streamed)
+        self.mesh = mesh
+        self.axis = axis
+        self.base_epsilon = base_epsilon
+        self.block_size = b
+        self.num_entries = p
+        self.num_blocks = nb
+        self.nb_local = nbl
+        n = mesh.shape[axis]
+        assert n * nbl * b == len(z["host_vids"]), \
+            "mesh width differs from the one the index was saved with"
+        self._host_vids = z["host_vids"]
+        self._blk_sig_first = z["blk_sig_first"]
+        self._blk_sig_last = z["blk_sig_last"]
+        self._sig_radix = sig_radix
+        self.k_chunk = _chunk_k(nbl)
+        v = vertices.num_vertices
+        d = vertices.dim
+        v_pad = _bucket(v + 1)
+        labv = np.concatenate(
+            [vertices.labels.astype(np.int32),
+             np.full(v_pad - v, -2, np.int32)])
+        degv = np.concatenate(
+            [vertices.degrees.astype(np.int32),
+             np.zeros(v_pad - v, np.int32)])
+        limb_tables = tuple(
+            jnp.asarray(np.concatenate(
+                [a, np.zeros((v_pad - v, d), np.float32)]))
+            for a in split3(vertices.vde))
+        self._tables = (jnp.asarray(labv), jnp.asarray(degv)) \
+            + limb_tables
+        shard = NamedSharding(mesh, P(axis))
+        put = lambda a: jax.device_put(a, shard)
+        zl = lambda a: jnp.zeros_like(a)
+        self.b_ub3 = (put(z["blk_ub"]), put(zl(z["blk_ub"])),
+                      put(zl(z["blk_ub"])))
+        self.b_llo3 = (put(z["blk_llo"]), put(zl(z["blk_llo"])),
+                       put(zl(z["blk_llo"])))
+        self.b_lhi3 = (put(z["blk_lhi"]), put(zl(z["blk_lhi"])),
+                       put(zl(z["blk_lhi"])))
+        self.b_deg = put(z["blk_deg"])
+        if self.streamed:
+            self.d_vids = None
+        else:
+            self.d_vids = jax.device_put(
+                np.ascontiguousarray(self._host_vids.T),
+                NamedSharding(mesh, P(None, axis)))
+        self.d_labels = self.d_degrees = self.d_pde3 = None
+        self.build_phase_ms = None
+        self.last_stats = None
+        self._phase1 = None
+        self._phase2 = {}
+        self._phase2_bitmap = {}
+        return self
+
     @staticmethod
     def prewarm_fold(mesh, l: int, d: int, p: int, num_vertices: int,
                      block_size: int = 512, axis: str = "graph"

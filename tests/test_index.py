@@ -76,3 +76,32 @@ def test_empty_and_tiny():
     got = idx2.search(one, np.array([0]), 8)
     assert sorted(np.concatenate([c for c in got if len(c)]).tolist()) \
         == [0, 1, 2]
+
+
+def test_table_index_save_load_roundtrip(tmp_path, data_graph,
+                                         query_graph):
+    """Table-mode and streamed-mode indexes persist and reload with
+    identical candidates (the reference's index.dat resume,
+    custom.h:218-234 — ours skips the full enumerate/sort/fold)."""
+    from gnnpe_tpu.index.device_packed import DevicePackedPESearch
+    from gnnpe_tpu.parallel.mesh import make_mesh
+    order = degree_sorted_nodes(data_graph)
+    paths, _ = enumerate_paths(data_graph, order, 3, dedup=True)
+    vertices = gen_vde(data_graph, 2)
+    qv = gen_vde(query_graph, 2)
+    qp, _ = enumerate_paths(query_graph, np.arange(8), 3, dedup=True)
+    q_pde, weight, _ = gen_query_pde_table(qv, qp)
+    plan = greedy_path_cover(qp, weight, 8)
+    nq = 8
+    mesh = make_mesh(8, axes=("graph",), shape=(8,))
+    for resident in (True, False):
+        idx = DevicePackedPESearch.build_from_paths(
+            mesh, paths, vertices, block_size=64, resident=resident)
+        want = idx.search(q_pde, plan, nq)
+        fp = str(tmp_path / f"idx_{resident}.npz")
+        idx.save(fp)
+        idx2 = DevicePackedPESearch.load(mesh, fp, vertices)
+        assert idx2.streamed == (not resident)
+        got = idx2.search(q_pde, plan, nq)
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(a, b)
