@@ -588,7 +588,23 @@ class DevicePackedPESearch:
         # both the host extraction table and (transposed) the device
         # leaf storage — no device→host fetch needed at all.
         hv = np.full((ent_rows, l), v, np.int32)
-        hv[:p] = paths[order_h]
+        if p > (1 << 26):
+            # Billion-row builds: the permutation gather is a random-
+            # access pass over ~12·p bytes at ~35 MB/s single-thread
+            # (7 min at the youtube rung) — split across threads
+            # (numpy fancy indexing releases the GIL).
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _gather(lo_hi):
+                lo, hi = lo_hi
+                hv[lo:hi] = paths[order_h[lo:hi]]
+            step = -(-p // 4)
+            spans = [(i, min(i + step, p))
+                     for i in range(0, p, step)]
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(pool.map(_gather, spans))
+        else:
+            hv[:p] = paths[order_h]
         self._host_vids = hv
         # (The transposed host copy is only needed when the table is
         # uploaded whole — the streamed path permutes on device.)
