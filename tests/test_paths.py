@@ -190,3 +190,22 @@ def test_pipeline_l1_fast_path_matches_sequential(data_graph):
         data_graph, order, cfg.path_length, vertices, mesh,
         block_size=512)
     np.testing.assert_array_equal(pip_paths, seq_paths)
+
+
+def test_capacity_model_auto_streams(data_graph, monkeypatch):
+    """With a tiny HBM budget the pipeline must auto-select streamed
+    mode and still build a searchable index (the capacity seam of the
+    HBM-wall feature)."""
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.embed.vde import gen_vde
+    from gnnpe_tpu.parallel.mesh import make_mesh
+    from gnnpe_tpu.paths.pipeline import offline_build_pipelined
+    monkeypatch.setenv("GNNPE_HBM_BYTES", "1000")   # ~1 KB budget
+    cfg = PEConfig.from_cli(l=2, e=2, p=5)
+    order = degree_sorted_nodes(data_graph)
+    vertices = gen_vde(data_graph, cfg.vde_dim)
+    mesh = make_mesh(1, axes=("graph",), shape=(1,))
+    paths, idx, tim = offline_build_pipelined(
+        data_graph, order, cfg.path_length, vertices, mesh)
+    assert tim["mode"] == "streamed" and idx.streamed
+    assert idx.d_vids is None
