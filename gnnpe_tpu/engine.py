@@ -173,12 +173,18 @@ class PEEngine:
                            timings_ms=t.times_ms, embeddings=emb)
 
     def online_many(self, query_graphs, engine: str = "auto",
-                    preverify: int = 0) -> List[MatchResult]:
+                    preverify: int = 0,
+                    union: str = "host") -> List[MatchResult]:
         """Batched serving: all queries' plan rows stack into ONE
         filter dispatch (query-vertex ids offset into a disjoint global
         space), then candidates split per query for refinement.  The
         reference has no multi-query story at all — its driver is one
-        process per query (GNN-PE/src/main.cpp:122-182)."""
+        process per query (GNN-PE/src/main.cpp:122-182).
+
+        union='device' routes the stacked search through the packed
+        device-bitmap union (one [nq, V/32] download per stack) — the
+        serving-scale path: the per-chunk leaf-mask download of the
+        host union scales with the stacked query-bucket width."""
         from gnnpe_tpu.embed.pde import PathEmbeddings
         assert (self.data_pde is not None or self.index is not None
                 or self.sharded is not None), \
@@ -208,7 +214,8 @@ class PEEngine:
             pde_label=np.concatenate([t.pde_label for t in tables]))
         plan_all = np.arange(big.num_paths)
         if self.sharded is not None:
-            cands_all = self.sharded.search(big, plan_all, base)
+            cands_all = self.sharded.search(big, plan_all, base,
+                                            union=union)
         elif self.index is not None:
             cands_all = self.index.search(big, plan_all, base,
                                           epsilon=self.config.epsilon)
@@ -390,10 +397,12 @@ class PGEEngine:
                            timings_ms=t.times_ms, embeddings=emb)
 
     def online_many(self, query_graphs, engine: str = "auto",
-                    preverify: int = 0) -> List[MatchResult]:
+                    preverify: int = 0,
+                    union: str = "host") -> List[MatchResult]:
         """Batched PGE serving: all queries' vertex tables stack into
         one filter dispatch, candidates split per query (see
-        PEEngine.online_many)."""
+        PEEngine.online_many).  union='device' uses the packed
+        vertex-bitmap union when the packed device index is attached."""
         assert self.group is not None, "call offline() first"
         qls, qds, qgs, qlgs, sizes = [], [], [], [], []
         for qg in query_graphs:
@@ -416,7 +425,13 @@ class PGEEngine:
         qlg = np.concatenate(qlgs)
         ids = list(range(len(ql)))
         if self.sharded is not None:
-            cands_all = self.sharded.search(ql, qd, qgrp, qlg, ids)
+            from gnnpe_tpu.index.device_packed import \
+                DevicePackedPGESearch
+            if isinstance(self.sharded, DevicePackedPGESearch):
+                cands_all = self.sharded.search(ql, qd, qgrp, qlg,
+                                                ids, union=union)
+            else:
+                cands_all = self.sharded.search(ql, qd, qgrp, qlg, ids)
         elif getattr(self, "index", None) is not None:
             cands_all = self.index.search(ql, qd, qgrp, qlg, ids,
                                           epsilon=self.config.epsilon)

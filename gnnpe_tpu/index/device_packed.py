@@ -90,6 +90,29 @@ def _pack_mask(m):
                                                           dtype=jnp.uint32)
 
 
+def _pack_or(acc, out, axis):
+    """Kernel tail shared by every bitmap-union variant: psum the
+    per-shard [nq, V] scatter across the mesh, pack to a uint32
+    bitmap, and OR into the running accumulator.  The accumulator —
+    and hence the one download per query/stack — is [nq, ceil(V/32)]
+    uint32: 32× smaller than the int32 bitmap ADVICE r4 item 4
+    measured at tens of MB per chunk."""
+    import jax
+    import jax.numpy as jnp
+    tot = jax.lax.psum(out, axis)
+    nq, v = tot.shape
+    pad = (-v) % 32
+    bits = jnp.pad(tot > 0, ((0, 0), (0, pad))).reshape(nq, -1, 32)
+    packed = (bits.astype(jnp.uint32)
+              << jnp.arange(32, dtype=jnp.uint32)).sum(
+                  -1, dtype=jnp.uint32)
+    return acc | packed
+
+
+def _bitmap_words(v: int) -> int:
+    return -(-v // 32)
+
+
 def _unpack_mask(packed: np.ndarray, q: int) -> np.ndarray:
     """Host inverse of _pack_mask → bool[q, R]."""
     p = np.asarray(packed)[:q]
@@ -394,9 +417,17 @@ class DeviceChunkCache:
                 m[blk] = slot
                 slots[s, i] = slot
                 up_slots[s, j] = slot
-                g0 = (s * nbl + blk) * b
-                upload[:, (s * u + j) * b:(s * u + j + 1) * b] = \
-                    host_vids[g0:g0 + b].T
+            if miss[s]:
+                # One fancy-index gather per shard (slots j are laid
+                # out consecutively): the per-block Python loop costs
+                # ~1 min over a 1.4M-block prefill, the gather ~none.
+                blks = np.fromiter((blk for _, blk in miss[s]),
+                                   np.int64, len(miss[s]))
+                ridx = ((s * nbl + blks)[:, None] * b
+                        + np.arange(b)).reshape(-1)
+                mb = len(miss[s]) * b
+                upload[:, s * u * b:s * u * b + mb] = \
+                    host_vids[ridx].T
         if u not in self._writes:
             self._writes[u] = self._build_write(u)
         upj = jax.device_put(
@@ -1264,7 +1295,7 @@ class DevicePackedPESearch:
             for kk in range(l):
                 out = out.at[qv[:, kk][:, None], gvc[None, :, kk]].max(
                     m.astype(jnp.int32))
-            return jnp.maximum(acc, jax.lax.psum(out, axis))
+            return _pack_or(acc, out, axis)
 
         return jax.jit(run, donate_argnums=0)
 
@@ -1303,7 +1334,7 @@ class DevicePackedPESearch:
             for kk in range(l):
                 out = out.at[qv[:, kk][:, None], gvc[None, :, kk]].max(
                     m.astype(jnp.int32))
-            return jnp.maximum(acc, jax.lax.psum(out, axis))
+            return _pack_or(acc, out, axis)
 
         return jax.jit(run, donate_argnums=0)
 
@@ -1335,7 +1366,7 @@ class DevicePackedPESearch:
             for kk in range(l):
                 out = out.at[qv[:, kk][:, None], gv[None, :, kk]].max(
                     m.astype(jnp.int32))
-            return jnp.maximum(acc, jax.lax.psum(out, axis))
+            return _pack_or(acc, out, axis)
 
         return jax.jit(run, donate_argnums=0)
 
@@ -1576,9 +1607,11 @@ class DevicePackedPESearch:
             fn = self._phase2_bitmap[key]
             qvj = jnp.asarray(q_vids)
             # The union accumulates ON DEVICE (acc donated through the
-            # chain); one [nq, V] download per query, not per chunk.
+            # chain) as a packed uint32 bitmap; one [nq, V/32]
+            # download per query/stack, not per chunk.
             acc = jax.device_put(
-                jnp.zeros((num_query_vertices, nv), jnp.int32),
+                jnp.zeros((num_query_vertices, _bitmap_words(nv)),
+                          jnp.uint32),
                 NamedSharding(self.mesh, P()))
             for c in range(num_chunks):
                 sel, selj, bqmj = chunk_inputs(c)
@@ -1604,7 +1637,8 @@ class DevicePackedPESearch:
                     acc = fn(acc, self.d_labels, self.d_degrees,
                              self.d_pde3, self.d_vids, selj, bqmj,
                              ql, qd, qt3, qvj)
-            out = np.asarray(acc)
+            out = _unpack_mask(np.asarray(acc),
+                               num_query_vertices)[:, :nv]
             if cache is not None:
                 self.last_stats.update(
                     cache_hits=cache.hits - hits0,
@@ -1849,7 +1883,7 @@ class DevicePackedPGESearch:
             out = jnp.zeros((nq, num_vertices), dtype=jnp.int32)
             out = out.at[jnp.arange(nq)[:, None], goc[None, :]].max(
                 m[:nq].astype(jnp.int32))
-            return jnp.maximum(acc, jax.lax.psum(out, axis))
+            return _pack_or(acc, out, axis)
 
         return jax.jit(run, donate_argnums=0)
 
@@ -2010,9 +2044,11 @@ class DevicePackedPGESearch:
                 self._phase2_bitmap[key] = self._build_phase2_bitmap(
                     k, self._num_vertices, nq)
             # Union accumulates ON DEVICE (acc donated through the
-            # chain); one bitmap download per query (ADVICE r4 item 4).
+            # chain) as a packed uint32 bitmap; one [nq, V/32]
+            # download per query/stack (ADVICE r4 item 4).
             acc = jax.device_put(
-                jnp.zeros((nq, self._num_vertices), jnp.int32),
+                jnp.zeros((nq, _bitmap_words(self._num_vertices)),
+                          jnp.uint32),
                 NamedSharding(self.mesh, P()))
             for c in range(num_chunks):
                 sel = np.zeros((n, k), dtype=np.int32)
@@ -2026,7 +2062,8 @@ class DevicePackedPGESearch:
                     self.d_llo3, self.d_lhi3, self.d_order,
                     jnp.asarray(sel), jnp.asarray(bqm),
                     ql, qd, qglo3, qllo3, qlhi3)
-            out = np.asarray(acc)
+            out = _unpack_mask(np.asarray(acc),
+                               nq)[:, :self._num_vertices]
             return [np.nonzero(out[j])[0].astype(np.int64)
                     for j in range(nq)]
 

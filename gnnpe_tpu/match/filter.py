@@ -137,6 +137,39 @@ def pge_candidates(d_labels: np.ndarray, d_degrees: np.ndarray,
     return out
 
 
+def pge_candidates_chunked(d_labels: np.ndarray, d_degrees: np.ndarray,
+                           d_group: np.ndarray,
+                           d_label_group: np.ndarray,
+                           q_labels: np.ndarray, q_degrees: np.ndarray,
+                           q_group: np.ndarray,
+                           q_label_group: np.ndarray,
+                           q_vertex_ids: Sequence[int],
+                           epsilon: float = 0.0,
+                           chunk: int = 1 << 21) -> List[np.ndarray]:
+    """Flat exact PGE filter streamed over data-vertex chunks — the
+    big-V spot-check oracle (VERDICT r4 item 5: rungs beyond 5M
+    vertices previously fell back to the host packed-index walk, the
+    same family as the thing under test; this shares no code with any
+    packed index).  Semantically identical to ``pge_candidates``:
+    chunks partition the vertex ids, per-chunk results are ascending,
+    and chunks concatenate in id order."""
+    n = len(d_labels)
+    outs: List[List[np.ndarray]] = [[] for _ in q_vertex_ids]
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        part = pge_candidates(
+            d_labels[lo:hi], d_degrees[lo:hi], d_group[lo:hi],
+            d_label_group[lo:hi], q_labels, q_degrees, q_group,
+            q_label_group, q_vertex_ids,
+            data_vertex_ids=np.arange(lo, hi, dtype=np.int64),
+            epsilon=epsilon)
+        for j, p in enumerate(part):
+            if len(p):
+                outs[j].append(p)
+    return [np.concatenate(s) if s else np.zeros(0, dtype=np.int64)
+            for s in outs]
+
+
 def pe_candidates_chunked(vertices, paths: np.ndarray,
                           query: PathEmbeddings,
                           plan_rows: np.ndarray,

@@ -154,15 +154,27 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
     uploader = None
     prewarm = None
     if resident and known_p is not None and known_p > 0:
+        import os
         p_pad, _, _, _ = pe_pad_shapes(known_p, block_size,
                                        graph.num_vertices, n_sh)
-        uploader = ChunkUploader(mesh, num_vertices_per_path, p_pad,
-                                 sentinel=graph.num_vertices)
-        prewarm = threading.Thread(
-            target=DevicePackedPESearch.prewarm_fold,
-            args=(mesh, num_vertices_per_path, vertices.dim, known_p,
-                  graph.num_vertices, block_size), daemon=True)
-        prewarm.start()
+        # The streamed-build overlap transiently holds ~3 table-sized
+        # device buffers (uploader buf + prewarm input + fold output);
+        # near the auto_resident boundary (table = 0.35·HBM) that is
+        # ~1.05·HBM plus XLA scratch (ADVICE r4 item 2).  Only overlap
+        # when the transient fits; otherwise build resident via the
+        # plain whole-table upload (one table + fold output ≈ 2×).
+        hbm = float(os.environ.get("GNNPE_HBM_BYTES", 16e9))
+        table_bytes = num_vertices_per_path * p_pad * 4
+        if 3 * table_bytes <= 0.8 * hbm * n_sh:
+            uploader = ChunkUploader(mesh, num_vertices_per_path,
+                                     p_pad,
+                                     sentinel=graph.num_vertices)
+            prewarm = threading.Thread(
+                target=DevicePackedPESearch.prewarm_fold,
+                args=(mesh, num_vertices_per_path, vertices.dim,
+                      known_p, graph.num_vertices, block_size),
+                daemon=True)
+            prewarm.start()
 
     if num_vertices_per_path == 2:
         # l=1 fast path: 2-vertex paths ARE the arc list, already in
@@ -252,10 +264,13 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
         if prewarm is not None:
             prewarm.join()
         buf, fed = uploader.finish()
-        if fed == len(paths):
+        # A wrong closed-form count means the device buffer was sized
+        # for the wrong p_pad — fall back to the whole-table upload
+        # rather than build a bad index.  (``fed`` always equals
+        # len(paths) by construction, so the real guard is known_p;
+        # ADVICE r4 item 3.)
+        if known_p == len(paths) and fed == known_p:
             preuploaded = (buf, fed)
-        # (fed != p would mean the closed-form count was wrong — fall
-        # back to the whole-table upload rather than build a bad index)
     idx = DevicePackedPESearch.build_from_paths(
         mesh, paths, vertices, block_size=block_size,
         precomputed_key=keys, preuploaded=preuploaded,
