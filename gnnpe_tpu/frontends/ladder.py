@@ -180,34 +180,49 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         assert ok, f"packed search != host oracle on query {qi}"
         return ok
 
-    spot_ok = pe_spot(0)
-    heavy_qi = (int(np.argmax(chunk_counts)) if chunk_counts else 0)
-    spot_ok_p90 = pe_spot(heavy_qi) if heavy_qi != 0 else spot_ok
+    # A failure here must be RECORDED, not crash away an hour-scale
+    # rung's completed measurements.
+    spot_err = None
+    try:
+        spot_ok = pe_spot(0)
+        heavy_qi = (int(np.argmax(chunk_counts))
+                    if chunk_counts else 0)
+        spot_ok_p90 = pe_spot(heavy_qi) if heavy_qi != 0 else spot_ok
+    except Exception as exc:               # noqa: BLE001
+        spot_ok = spot_ok_p90 = False
+        spot_err = repr(exc)[:300]
+        print(f"[ladder:{name}] PE SPOT-CHECK FAILED: {spot_err}",
+              file=sys.stderr)
 
     # Batched serving (VERDICT r4 item 6): all queries in ONE stacked
     # search through the device-bitmap union (one [nq, V/32] download
     # per stack), answers asserted equal to the per-query loop.
     serving = None
     if serve:
-        t0 = time.time()
-        rs = eng.online_many(qs, union="device")
-        cold_s = time.time() - t0
-        got = [r.answer_count for r in rs]
-        assert got == answers, "online_many answers != per-query"
-        # Second pass = steady-state serving (the stacked bitmap
-        # program compiles once per process; a serving deployment
-        # pays that once, not per batch).
-        t0 = time.time()
-        rs = eng.online_many(qs, union="device")
-        serving_s = time.time() - t0
-        assert [r.answer_count for r in rs] == answers
-        serving = dict(
-            queries=len(qs), cold_s=round(cold_s, 2),
-            serving_s=round(serving_s, 2),
-            qps=round(len(qs) / serving_s, 2),
-            amortized_ms=round(serving_s * 1e3 / len(qs), 1),
-            speedup_vs_sequential=round(
-                float(np.sum(lat)) / (serving_s * 1e3), 2))
+        try:
+            t0 = time.time()
+            rs = eng.online_many(qs, union="device")
+            cold_s = time.time() - t0
+            got = [r.answer_count for r in rs]
+            assert got == answers, "online_many answers != per-query"
+            # Second pass = steady-state serving (the stacked bitmap
+            # program compiles once per process; a serving deployment
+            # pays that once, not per batch).
+            t0 = time.time()
+            rs = eng.online_many(qs, union="device")
+            serving_s = time.time() - t0
+            assert [r.answer_count for r in rs] == answers
+            serving = dict(
+                queries=len(qs), cold_s=round(cold_s, 2),
+                serving_s=round(serving_s, 2),
+                qps=round(len(qs) / serving_s, 2),
+                amortized_ms=round(serving_s * 1e3 / len(qs), 1),
+                speedup_vs_sequential=round(
+                    float(np.sum(lat)) / (serving_s * 1e3), 2))
+        except Exception as exc:           # noqa: BLE001
+            serving = dict(error=repr(exc)[:300])
+            print(f"[ladder:{name}] PE SERVING FAILED: {serving}",
+                  file=sys.stderr)
     emit(dict(
         rung=name, variant="pe", l=pe_l, v=g.num_vertices,
         e=g.num_edges, paths=num_paths,
@@ -239,7 +254,8 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         mean_answers=round(float(np.mean(answers)), 1),
         serving=serving,
         spot_verified=bool(spot_ok),
-        spot_verified_p90=bool(spot_ok_p90)))
+        spot_verified_p90=bool(spot_ok_p90),
+        spot_error=spot_err))
     print(f"[ladder:{name}] PE l={pe_l}: paths={num_paths} "
           f"enum={enum_s:.1f}s build={build_s:.1f}s "
           f"idx={index_bytes/1e6:.0f}MB p50={np.median(lat):.0f}ms "
@@ -308,34 +324,46 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         return ok
 
     spot_ok2 = spot_ok2_p90 = None
+    spot_err2 = None
     if qs_ok:
-        spot_ok2 = pge_spot(qs_ok[0])
-        heavy2 = (int(np.argmax(chunk_counts2))
-                  if chunk_counts2 else 0)
-        spot_ok2_p90 = (pge_spot(qs_ok[heavy2]) if heavy2 != 0
-                        else spot_ok2)
+        try:
+            spot_ok2 = pge_spot(qs_ok[0])
+            heavy2 = (int(np.argmax(chunk_counts2))
+                      if chunk_counts2 else 0)
+            spot_ok2_p90 = (pge_spot(qs_ok[heavy2]) if heavy2 != 0
+                            else spot_ok2)
+        except Exception as exc:           # noqa: BLE001
+            spot_ok2 = spot_ok2_p90 = False
+            spot_err2 = repr(exc)[:300]
+            print(f"[ladder:{name}] PGE SPOT-CHECK FAILED: "
+                  f"{spot_err2}", file=sys.stderr)
 
     # Batched serving (VERDICT r4 item 6): the per-query dispatch
     # floor (33 pipelined chunks per patents query) collapses into ONE
     # chunk loop shared by every stacked query.
     serving2 = None
     if serve and qs_ok:
-        t0 = time.time()
-        rs2 = eng2.online_many(qs_ok, union="device")
-        cold2_s = time.time() - t0
-        got2 = [r.answer_count for r in rs2]
-        assert got2 == answers2, "PGE online_many != per-query"
-        t0 = time.time()
-        rs2 = eng2.online_many(qs_ok, union="device")
-        serving2_s = time.time() - t0
-        assert [r.answer_count for r in rs2] == answers2
-        serving2 = dict(
-            queries=len(qs_ok), cold_s=round(cold2_s, 2),
-            serving_s=round(serving2_s, 2),
-            qps=round(len(qs_ok) / serving2_s, 2),
-            amortized_ms=round(serving2_s * 1e3 / len(qs_ok), 1),
-            speedup_vs_sequential=round(
-                float(np.sum(lat2)) / (serving2_s * 1e3), 2))
+        try:
+            t0 = time.time()
+            rs2 = eng2.online_many(qs_ok, union="device")
+            cold2_s = time.time() - t0
+            got2 = [r.answer_count for r in rs2]
+            assert got2 == answers2, "PGE online_many != per-query"
+            t0 = time.time()
+            rs2 = eng2.online_many(qs_ok, union="device")
+            serving2_s = time.time() - t0
+            assert [r.answer_count for r in rs2] == answers2
+            serving2 = dict(
+                queries=len(qs_ok), cold_s=round(cold2_s, 2),
+                serving_s=round(serving2_s, 2),
+                qps=round(len(qs_ok) / serving2_s, 2),
+                amortized_ms=round(serving2_s * 1e3 / len(qs_ok), 1),
+                speedup_vs_sequential=round(
+                    float(np.sum(lat2)) / (serving2_s * 1e3), 2))
+        except Exception as exc:           # noqa: BLE001
+            serving2 = dict(error=repr(exc)[:300])
+            print(f"[ladder:{name}] PGE SERVING FAILED: {serving2}",
+                  file=sys.stderr)
 
     # Honest index accounting (VERDICT r4 item 8): count what the
     # device search actually holds — per-entry limb arrays, block
@@ -369,7 +397,8 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         mean_answers=round(float(np.mean(answers2)), 1),
         serving=serving2,
         spot_verified=bool(spot_ok2),
-        spot_verified_p90=bool(spot_ok2_p90)))
+        spot_verified_p90=bool(spot_ok2_p90),
+        spot_error=spot_err2))
     print(f"[ladder:{name}] PGE l=2: offline={pge_off_s:.1f}s "
           f"p50={np.median(lat2):.0f}ms skipped={skipped}",
           file=sys.stderr)
@@ -396,6 +425,11 @@ def main(argv=None):
                     help="cache-prefill budget for streamed rungs")
     ap.add_argument("--no-serve", action="store_true",
                     help="skip the batched-serving measurement")
+    ap.add_argument("--pe-max-paths", type=float,
+                    default=2_000_000_000,
+                    help="PE l=2 feasibility cap in entries; the "
+                         "disk-tier bucketed build lifts the old "
+                         "host-RAM wall (youtube_skew l=2 ≈ 4.2e9)")
     args = ap.parse_args(argv)
     all_rows = []
     for name in args.dataset.split(","):
@@ -407,6 +441,7 @@ def main(argv=None):
                                  prefill_seconds=args.prefill_seconds,
                                  force_streamed=args.force_streamed,
                                  serve=not args.no_serve,
+                                 pe_max_paths=int(args.pe_max_paths),
                                  out_path=args.out))
     print(json.dumps(all_rows))
 

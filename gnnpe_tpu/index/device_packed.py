@@ -946,10 +946,25 @@ class DevicePackedPESearch:
         enumerate/sort/fold build (30 min at the youtube-l2 rung).
         The reference's analogue is its index.dat reload
         (custom.h:218-234); per-vertex tables are NOT stored — they
-        rebuild from the embeddings in seconds at load."""
+        rebuild from the embeddings in seconds at load.
+
+        Tables beyond 1 GB (and memmap-backed disk-tier tables) land
+        in a raw ``<path>.vids.bin`` sidecar, copied in bounded
+        chunks — np.savez would buffer the whole multi-GB array."""
         assert self.table_mode, "save() is for table/streamed modes"
+        hv = self._host_vids
+        big = isinstance(hv, np.memmap) or hv.nbytes > (1 << 30)
+        extra = {}
+        if big:
+            step = (1 << 26) // hv.shape[1]
+            with open(path + ".vids.bin", "wb") as f:
+                for lo in range(0, len(hv), step):
+                    f.write(np.ascontiguousarray(
+                        hv[lo:lo + step]).tobytes())
+            extra["host_vids"] = np.zeros((0, hv.shape[1]), np.int32)
+        else:
+            extra["host_vids"] = hv
         np.savez(path,
-                 host_vids=self._host_vids,
                  blk_ub=np.asarray(self.b_ub3[0]),
                  blk_llo=np.asarray(self.b_llo3[0]),
                  blk_lhi=np.asarray(self.b_lhi3[0]),
@@ -958,8 +973,10 @@ class DevicePackedPESearch:
                  blk_sig_last=self._blk_sig_last,
                  meta=np.array([self.num_entries, self.block_size,
                                 self.num_blocks, self.nb_local,
-                                int(self.streamed), self._sig_radix],
-                               np.int64))
+                                int(self.streamed), self._sig_radix,
+                                int(big), hv.shape[1]],
+                               np.int64),
+                 **extra)
 
     @classmethod
     def load(cls, mesh, path: str, vertices, axis: str = "graph",
@@ -974,8 +991,9 @@ class DevicePackedPESearch:
             enable_persistent_cache
         enable_persistent_cache()
         z = np.load(path)
-        p, b, nb, nbl, streamed, sig_radix = (int(x)
-                                              for x in z["meta"])
+        meta = [int(x) for x in z["meta"]]
+        p, b, nb, nbl, streamed, sig_radix = meta[:6]
+        big = bool(meta[6]) if len(meta) > 6 else False
         self = cls.__new__(cls)
         self.table_mode = True
         self.streamed = bool(streamed)
@@ -987,9 +1005,15 @@ class DevicePackedPESearch:
         self.num_blocks = nb
         self.nb_local = nbl
         n = mesh.shape[axis]
-        assert n * nbl * b == len(z["host_vids"]), \
+        if big:
+            l_saved = meta[7]
+            hv = np.memmap(path + ".vids.bin", dtype=np.int32,
+                           mode="r").reshape(-1, l_saved)
+        else:
+            hv = z["host_vids"]
+        assert n * nbl * b == len(hv), \
             "mesh width differs from the one the index was saved with"
-        self._host_vids = z["host_vids"]
+        self._host_vids = hv
         self._blk_sig_first = z["blk_sig_first"]
         self._blk_sig_last = z["blk_sig_last"]
         self._sig_radix = sig_radix

@@ -198,6 +198,39 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
         t_enum_keys = time.perf_counter() - t_all
         t_dedup = 0.0
     else:
+        # Streamed builds route through the bucketed out-of-core sort
+        # (index/bucket_build.py — VERDICT r4 items 2/3): chunk rows
+        # range-partition by key inside the worker threads, buckets
+        # sort/write/fold in parallel after enumeration, and the
+        # sorted table lands in a np.memmap (the disk tier) when it
+        # exceeds the host-RAM budget.  NOTE: the returned ``paths``
+        # are then in INDEX (sorted) order, not enumeration order —
+        # the same multiset; candidate semantics are order-free.
+        spill = None
+        bucketed = (not resident) and known_p is not None \
+            and known_p > 0
+        t_sample = 0.0
+        if bucketed:
+            import os
+            from gnnpe_tpu.index.bucket_build import (
+                BucketSpill, host_ram_bytes, sample_key_boundaries)
+            t0 = time.perf_counter()
+            n_buckets = int(max(8, min(1024,
+                                       known_p // 32_000_000 + 1)))
+            bounds = sample_key_boundaries(
+                graph, order, num_vertices_per_path, vertices,
+                n_buckets)
+            est_bytes = known_p * (num_vertices_per_path * 4 + 8)
+            base = os.environ.get(
+                "GNNPE_SPILL_DIR",
+                os.path.join(os.getcwd(), ".cache", "gnnpe_spill"))
+            spill_dir = None
+            if est_bytes > 0.4 * host_ram_bytes():
+                spill_dir = os.path.join(base, f"spill_{os.getpid()}")
+            spill = BucketSpill(bounds, num_vertices_per_path,
+                                spill_dir)
+            t_sample = time.perf_counter() - t0
+
         # Cost-balanced chunking: starts are degree-SORTED, so fixed
         # start-count chunks put nearly all paths in the last few
         # chunks (a 4096-degree start yields ~16.7M 3-vertex paths);
@@ -236,21 +269,67 @@ def offline_build_pipelined(graph: CSRGraph, order: np.ndarray,
         def work(c):
             # Dedup is ROW-LOCAL (rank[first] < rank[last]), so it
             # applies per chunk — survivors only get keys, and the
-            # whole enumerate→dedup→key chain runs inside the overlap.
+            # whole enumerate→dedup→key→partition chain runs inside
+            # the overlap.
             rows = enumerate_paths_from(graph, c, num_vertices_per_path)
             rows = rows[dedup_orientations_streaming(rows, rank)]
-            return rows, composite_sort_key(rows, vertices, tables=ktabs)
+            keys = composite_sort_key(rows, vertices, tables=ktabs)
+            if spill is not None:
+                return spill.partition(rows, keys)
+            return rows, keys
 
         results = []
         with ThreadPoolExecutor(max_workers=workers) as pool:
             # Consume lazily IN ORDER: each finished chunk's rows feed
-            # the device uploader immediately (transfers ride the pipe
-            # while later chunks still enumerate on the worker pool).
+            # the device uploader / the bucket spill immediately
+            # (transfers and spill writes ride alongside enumeration
+            # still running on the worker pool).
             for res in pool.map(work, chunks):
+                if spill is not None:
+                    spill.append(res)
+                    continue
                 if uploader is not None:
                     uploader.feed(res[0])
                 results.append(res)
         t_enum_keys = time.perf_counter() - t_all
+
+        if spill is not None:
+            import os
+            from gnnpe_tpu.index.bucket_build import (
+                build_streamed_bucketed, host_ram_bytes)
+            from gnnpe_tpu.index.device_packed import \
+                pe_pad_shapes as _pps
+            t0 = time.perf_counter()
+            p_pad, _, _, nbl = _pps(spill.total, block_size,
+                                    graph.num_vertices, n_sh,
+                                    pow2=False)
+            ent_rows = n_sh * nbl * block_size
+            table_bytes = ent_rows * num_vertices_per_path * 4
+            table_path = None
+            if table_bytes > 0.3 * host_ram_bytes() \
+                    or os.environ.get("GNNPE_FORCE_MEMMAP"):
+                base = os.environ.get(
+                    "GNNPE_SPILL_DIR",
+                    os.path.join(os.getcwd(), ".cache",
+                                 "gnnpe_spill"))
+                os.makedirs(base, exist_ok=True)
+                table_path = os.path.join(
+                    base, f"leaf_table_{os.getpid()}.bin")
+            idx = build_streamed_bucketed(
+                mesh, spill, vertices, num_vertices_per_path,
+                block_size=block_size, table_path=table_path)
+            t_build = time.perf_counter() - t0
+            timings = {"enum_keys_s": round(t_enum_keys, 2),
+                       "sample_s": round(t_sample, 2),
+                       "dedup_s": 0.0,
+                       "build_s": round(t_build, 2),
+                       "total_s": round(
+                           time.perf_counter() - t_all, 2),
+                       "n_buckets": spill.nb,
+                       "spilled_to_disk": spill.dir is not None,
+                       "table_memmap": table_path is not None,
+                       "mode": "streamed"}
+            return idx._host_vids[:spill.total], idx, timings
 
         t0 = time.perf_counter()
         paths = np.concatenate([r[0] for r in results], axis=0)

@@ -105,3 +105,19 @@ def test_table_index_save_load_roundtrip(tmp_path, data_graph,
         got = idx2.search(q_pde, plan, nq)
         for a, b in zip(want, got):
             np.testing.assert_array_equal(a, b)
+    # Disk-tier sidecar path: a memmap-backed table must save to the
+    # raw .vids.bin and reload as a read-only memmap, candidates
+    # unchanged (the big-table branch that np.savez cannot handle).
+    mm_path = tmp_path / "table.bin"
+    mm = np.memmap(mm_path, dtype=np.int32, mode="w+",
+                   shape=idx._host_vids.shape)
+    mm[:] = idx._host_vids
+    idx._host_vids = mm
+    fp = str(tmp_path / "idx_mm.npz")
+    idx.save(fp)
+    assert (tmp_path / "idx_mm.npz.vids.bin").exists()
+    idx3 = DevicePackedPESearch.load(mesh, fp, vertices)
+    assert isinstance(idx3._host_vids, np.memmap)
+    got = idx3.search(q_pde, plan, nq)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)

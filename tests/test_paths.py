@@ -192,6 +192,87 @@ def test_pipeline_l1_fast_path_matches_sequential(data_graph):
     np.testing.assert_array_equal(pip_paths, seq_paths)
 
 
+def test_bucketed_streamed_build_bit_identical(data_graph, tmp_path,
+                                               monkeypatch):
+    """The bucketed out-of-core streamed build (index/bucket_build.py)
+    must produce a sorted leaf table, sig ranges, and block summaries
+    BIT-IDENTICAL to the monolithic streamed build_from_paths — in
+    RAM mode, with a forced memmap table, and with forced disk spill
+    (VERDICT r4 items 2/3)."""
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.embed.vde import gen_vde
+    from gnnpe_tpu.graph.partition import degree_sorted_nodes
+    from gnnpe_tpu.index.device_packed import DevicePackedPESearch
+    from gnnpe_tpu.parallel.mesh import make_mesh
+    from gnnpe_tpu.paths.pipeline import offline_build_pipelined
+
+    cfg = PEConfig.from_cli(l=2, e=2, p=5)
+    order = degree_sorted_nodes(data_graph)
+    vertices = gen_vde(data_graph, cfg.vde_dim)
+    mesh = make_mesh(1, axes=("graph",), shape=(1,))
+    seq_paths, _ = enumerate_paths(data_graph, order, cfg.path_length,
+                                   dedup=True)
+    ref = DevicePackedPESearch.build_from_paths(
+        mesh, seq_paths, vertices, block_size=512, resident=False)
+
+    def check(idx, paths):
+        assert idx.streamed and idx.d_vids is None
+        np.testing.assert_array_equal(np.asarray(idx._host_vids),
+                                      ref._host_vids)
+        np.testing.assert_array_equal(paths,
+                                      ref._host_vids[:len(seq_paths)])
+        np.testing.assert_array_equal(idx._blk_sig_first,
+                                      ref._blk_sig_first)
+        np.testing.assert_array_equal(idx._blk_sig_last,
+                                      ref._blk_sig_last)
+        np.testing.assert_array_equal(np.asarray(idx.b_deg),
+                                      np.asarray(ref.b_deg))
+        np.testing.assert_array_equal(np.asarray(idx.b_ub3[0]),
+                                      np.asarray(ref.b_ub3[0]))
+        np.testing.assert_array_equal(np.asarray(idx.b_llo3[0]),
+                                      np.asarray(ref.b_llo3[0]))
+        np.testing.assert_array_equal(np.asarray(idx.b_lhi3[0]),
+                                      np.asarray(ref.b_lhi3[0]))
+
+    monkeypatch.setenv("GNNPE_SPILL_DIR", str(tmp_path))
+    # RAM-mode buckets, RAM table.
+    paths, idx, tim = offline_build_pipelined(
+        data_graph, order, cfg.path_length, vertices, mesh,
+        block_size=512, chunk_starts=777, resident=False)
+    assert tim["mode"] == "streamed" and tim["n_buckets"] >= 8
+    assert not tim["spilled_to_disk"] and not tim["table_memmap"]
+    check(idx, paths)
+    # Forced memmap table.
+    monkeypatch.setenv("GNNPE_FORCE_MEMMAP", "1")
+    paths, idx, tim = offline_build_pipelined(
+        data_graph, order, cfg.path_length, vertices, mesh,
+        block_size=512, chunk_starts=777, resident=False)
+    assert tim["table_memmap"]
+    assert isinstance(idx._host_vids, np.memmap)
+    check(idx, paths)
+    # Forced disk spill (tiny RAM budget) + memmap.
+    monkeypatch.setenv("GNNPE_HOST_RAM_BYTES", "1000")
+    paths, idx, tim = offline_build_pipelined(
+        data_graph, order, cfg.path_length, vertices, mesh,
+        block_size=512, chunk_starts=777, resident=False)
+    assert tim["spilled_to_disk"] and tim["table_memmap"]
+    check(idx, paths)
+    # The bucketed index must serve queries identically too.
+    from gnnpe_tpu.embed.pde import gen_query_pde_table
+    from gnnpe_tpu.io.datasets import sample_query
+    from gnnpe_tpu.match.plan import greedy_path_cover
+    q = sample_query(data_graph, 8, tree=True, seed=3)
+    qv = gen_vde(q, cfg.vde_dim)
+    qp, _ = enumerate_paths(q, np.arange(q.num_vertices),
+                            cfg.path_length, dedup=True)
+    q_pde, w, _ = gen_query_pde_table(qv, qp)
+    plan = greedy_path_cover(qp, w, q.num_vertices)
+    a = ref.search(q_pde, plan, q.num_vertices)
+    c = idx.search(q_pde, plan, q.num_vertices)
+    for x, y in zip(a, c):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_capacity_model_auto_streams(data_graph, monkeypatch):
     """With a tiny HBM budget the pipeline must auto-select streamed
     mode and still build a searchable index (the capacity seam of the
