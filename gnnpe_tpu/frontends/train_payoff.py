@@ -37,8 +37,13 @@ import numpy as np
 
 
 def evaluate(eng, queries):
-    """Per-query answer counts, candidate sums, stage timings."""
+    """Per-query answer counts, candidate sums, stage timings; when
+    the engine serves through a device packed search, also the pruning
+    work the filter quality actually controls — surviving blocks and
+    phase-2 chunks per query (VERDICT r4 item 7: does candidate
+    reduction translate into chunk reduction?)."""
     answers, cands, search_ms, refine_ms, total_ms = [], [], [], [], []
+    chunks, survived = [], []
     for q in queries:
         t0 = time.time()
         r = eng.online(q)
@@ -47,21 +52,38 @@ def evaluate(eng, queries):
         cands.append(int(sum(len(c) for c in r.candidates)))
         search_ms.append(r.timings_ms.get("search", 0.0))
         refine_ms.append(r.timings_ms.get("refine", 0.0))
-    return dict(answers=answers,
-                cand_sum_mean=float(np.mean(cands)),
-                search_p50_ms=float(np.median(search_ms)),
-                search_min_ms=float(np.min(search_ms)),
-                search_max_ms=float(np.max(search_ms)),
-                refine_p50_ms=float(np.median(refine_ms)),
-                refine_min_ms=float(np.min(refine_ms)),
-                refine_max_ms=float(np.max(refine_ms)),
-                online_p50_ms=float(np.median(total_ms)))
+        st = getattr(eng.sharded, "last_stats", None) \
+            if eng.sharded is not None else None
+        if st is not None:
+            chunks.append(st["chunks"])
+            survived.append(st["survived"])
+    out = dict(answers=answers,
+               cand_sum_mean=float(np.mean(cands)),
+               search_p50_ms=float(np.median(search_ms)),
+               search_min_ms=float(np.min(search_ms)),
+               search_max_ms=float(np.max(search_ms)),
+               refine_p50_ms=float(np.median(refine_ms)),
+               refine_min_ms=float(np.min(refine_ms)),
+               refine_max_ms=float(np.max(refine_ms)),
+               online_p50_ms=float(np.median(total_ms)))
+    if chunks:
+        out["chunks_mean"] = float(np.mean(chunks))
+        out["blocks_survived_mean"] = float(np.mean(survived))
+    return out
 
 
 def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
         steps: int = 300, vde_dim: int = 2, l: int = 2, seed: int = 0,
         packed: bool = True, learning_rate: float = 1e-2,
-        max_answers: int = 100_000, variant: str = "pge") -> list:
+        max_answers: int = 100_000, variant: str = "pge",
+        device: bool = False, force_streamed: bool = False) -> list:
+    """device=True serves both embedders through the DEVICE packed
+    search (DevicePackedPESearch / DevicePackedPGESearch on the live
+    mesh — the ladder's serving path), not the host packed index, so
+    the payoff is measured where it matters: surviving blocks and
+    phase-2 chunks (VERDICT r4 item 7).  force_streamed additionally
+    drives the PE index through the streamed (HBM-wall) mode, where
+    chunk reduction is upload-bytes reduction."""
     from gnnpe_tpu.config import PEConfig, PGEConfig
     from gnnpe_tpu.engine import PEEngine, PGEEngine
     from gnnpe_tpu.graph.partition import degree_sorted_nodes
@@ -86,12 +108,35 @@ def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
         # surfacing, and the assert makes it loud, not silent.)
         cfg = PEConfig.from_cli(l=l, e=vde_dim, p=5, n=max_answers)
 
+    mesh = None
+    if device:
+        import jax
+        from gnnpe_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(len(jax.devices()), axes=("graph",),
+                         shape=(len(jax.devices()),))
+
     def make_engine(embedder=None):
         if variant == "pge":
-            return PGEEngine(cfg, g, embedder=embedder).offline(
-                packed=packed)
-        return PEEngine(cfg, g, embedder=embedder).offline() \
-            .build_index(packed=packed)
+            e = PGEEngine(cfg, g, embedder=embedder)
+            if device:
+                e.offline(device=True, packed=True)
+                e.attach_mesh(mesh, packed=True)
+                e.sharded.warm()
+                return e
+            return e.offline(packed=packed)
+        e = PEEngine(cfg, g, embedder=embedder)
+        if device:
+            from gnnpe_tpu.paths.pipeline import offline_build_pipelined
+            e.vertices = e.embedder(g)
+            e.paths, e.sharded, _ = offline_build_pipelined(
+                g, degree_sorted_nodes(g), cfg.path_length,
+                e.vertices, mesh, block_size=512,
+                resident=(False if force_streamed else None))
+            e.sharded.warm()
+            if e.sharded.streamed:
+                e.sharded.prefill_cache(max_seconds=60.0)
+            return e
+        return e.offline().build_index(packed=packed)
 
     # Held-out queries: seeds disjoint from the training graph sampling
     # (training pairs come from data paths, not from these queries).
@@ -99,6 +144,9 @@ def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
           for i in range(queries)]
 
     fixed = make_engine()
+    mode = None
+    if device and variant == "pe":
+        mode = "streamed" if fixed.sharded.streamed else "resident"
     base = evaluate(fixed, qs)
     del fixed         # dblp-scale PE keeps ~12 GB of f64 tables alive
     print(f"[payoff:{dataset}] fixed VDE: cands={base['cand_sum_mean']:.0f} "
@@ -137,15 +185,18 @@ def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
           f"(-{red:.1f}%) p50={tr['online_p50_ms']:.0f}ms "
           f"train={train_s:.0f}s loss {state.history[0]:.4f}->"
           f"{state.history[-1]:.4f}", file=sys.stderr)
+    common = dict(engine="device-packed" if device else "host-packed")
+    if mode is not None:
+        common["mode"] = mode
     rows = [
         dict(dataset=dataset, variant=variant, embedder="fixed-vde",
-             vde_dim=vde_dim, l=l, queries=queries,
+             vde_dim=vde_dim, l=l, queries=queries, **common,
              **{k: round(v, 1) for k, v in
                 base.items() if k != "answers"},
              answers_ok=True),
         dict(dataset=dataset, variant=variant,
              embedder="trained-pathgnn",
-             vde_dim=vde_dim, l=l, queries=queries,
+             vde_dim=vde_dim, l=l, queries=queries, **common,
              **{k: round(v, 1) for k, v in tr.items()
                 if k != "answers"},
              answers_ok=True, train_steps=state.step,
@@ -168,11 +219,11 @@ def write_training_md(all_rows, path="TRAINING.md"):
         "(exactness is structural; reference embedding at",
         "custom.h:492-544 is the baseline).",
         "",
-        "| dataset | variant | embedder | D | mean Σ\\|cands\\| "
-        "| reduction "
+        "| dataset | variant | engine | embedder | D "
+        "| mean Σ\\|cands\\| | reduction | blocks | chunks "
         "| search p50 (min–max) ms | refine p50 (min–max) ms "
         "| online p50 ms |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in all_rows:
         red = (f"**-{r['candidate_reduction_pct']}%**"
@@ -185,11 +236,18 @@ def write_training_md(all_rows, path="TRAINING.md"):
                         f"{r[f'{stem}_max_ms']:.1f})")
             return f"{r[f'{stem}_p50_ms']:.1f}"
 
+        engine = r.get("engine", "host-packed")
+        if "mode" in r:
+            engine += f" ({r['mode']})"
+        blocks = (f"{r['blocks_survived_mean']:.0f}"
+                  if "blocks_survived_mean" in r else "—")
+        chunks = (f"{r['chunks_mean']:.1f}"
+                  if "chunks_mean" in r else "—")
         lines.append(
             f"| {r['dataset']} | {r.get('variant', 'pge')} | "
-            f"{r['embedder']} | {r['vde_dim']} | "
-            f"{r['cand_sum_mean']:.0f} | {red} | "
-            f"{rng('search')} | {rng('refine')} | "
+            f"{engine} | {r['embedder']} | {r['vde_dim']} | "
+            f"{r['cand_sum_mean']:.0f} | {red} | {blocks} | "
+            f"{chunks} | {rng('search')} | {rng('refine')} | "
             f"{r['online_p50_ms']:.1f} |")
     tr = [r for r in all_rows if "train_s" in r]
     if tr:
@@ -213,6 +271,14 @@ def main(argv=None):
     ap.add_argument("--max-answers", type=int, default=100_000)
     ap.add_argument("--variant", default="pge",
                     choices=["pe", "pge"])
+    ap.add_argument("--device", action="store_true",
+                    help="serve both embedders through the device "
+                         "packed search on the live mesh (the ladder "
+                         "serving path), recording surviving blocks "
+                         "and phase-2 chunks per query")
+    ap.add_argument("--force-streamed", action="store_true",
+                    help="with --device + PE: force the streamed "
+                         "(HBM-wall) index mode")
     ap.add_argument("--out", default="TRAINING.json")
     ap.add_argument("--md", default="TRAINING.md")
     args = ap.parse_args(argv)
@@ -224,7 +290,9 @@ def main(argv=None):
                             l=args.l, seed=args.seed,
                             learning_rate=args.lr,
                             max_answers=args.max_answers,
-                            variant=args.variant))
+                            variant=args.variant,
+                            device=args.device,
+                            force_streamed=args.force_streamed))
     with open(args.out, "a") as f:
         for r in all_rows:
             f.write(json.dumps(r) + "\n")
