@@ -43,6 +43,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
              prefill_seconds: float = 300.0,
              force_streamed: bool = False,
              serve: bool = True,
+             ab_sequential: bool = False,
              out_path: str = "") -> list:
     import jax
     enable_persistent_cache()
@@ -104,6 +105,29 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
                 g.num_vertices, mesh.shape["graph"])))
         build_s = time.time() - t0
     num_paths = len(eng.paths)
+    # Optional A/B of record (VERDICT r4 item 3): rebuild the SAME
+    # index sequentially — monolithic enumerate, then monolithic
+    # build (the r4 path) — and record the overlap+bucketing speedup
+    # in the row itself instead of a hand-merged side measurement.
+    ab = None
+    if ab_sequential and pipelined:
+        from gnnpe_tpu.index.device_packed import (
+            DevicePackedPESearch as _DPS, auto_resident)
+        from gnnpe_tpu.paths.enumerate import (
+            enumerate_paths as _enum)
+        t0 = time.time()
+        paths2, _ = _enum(g, degree_sorted_nodes(g),
+                          cfg.path_length, dedup=True)
+        seq_sh = _DPS.build_from_paths(
+            mesh, paths2, eng.vertices, block_size=block_size,
+            resident=(False if force_streamed else auto_resident(
+                len(paths2), cfg.path_length, block_size,
+                g.num_vertices, mesh.shape["graph"])))
+        seq_s = time.time() - t0
+        del seq_sh, paths2
+        ab = round(seq_s / max(build_s, 1e-9), 2)
+        print(f"[ladder:{name}] PE build A/B: sequential {seq_s:.1f}s"
+              f" / pipelined {build_s:.1f}s = {ab}x", file=sys.stderr)
     from gnnpe_tpu.embed.pde import gen_pde
     if num_paths <= 20_000_000:
         # Full f64 PathEmbeddings only where it fits (the flat spot
@@ -230,6 +254,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         enumerate_s=round(enum_s, 2), index_build_s=round(build_s, 2),
         build_phase_ms=eng.sharded.build_phase_ms,
         pipeline=pipe_timings,
+        pipeline_vs_sequential=ab,
         warm_s=round(warm_s, 2),
         prefill_s=prefill_s, prefill_blocks=prefill_blocks,
         index_bytes=index_bytes, queries=len(lat),
@@ -425,6 +450,10 @@ def main(argv=None):
                     help="cache-prefill budget for streamed rungs")
     ap.add_argument("--no-serve", action="store_true",
                     help="skip the batched-serving measurement")
+    ap.add_argument("--ab-sequential", action="store_true",
+                    help="also rebuild the PE index sequentially "
+                         "(monolithic r4 path) and record the "
+                         "pipeline_vs_sequential speedup in the row")
     ap.add_argument("--pe-max-paths", type=float,
                     default=2_000_000_000,
                     help="PE l=2 feasibility cap in entries; the "
@@ -441,6 +470,7 @@ def main(argv=None):
                                  prefill_seconds=args.prefill_seconds,
                                  force_streamed=args.force_streamed,
                                  serve=not args.no_serve,
+                                 ab_sequential=args.ab_sequential,
                                  pe_max_paths=int(args.pe_max_paths),
                                  out_path=args.out))
     print(json.dumps(all_rows))
