@@ -1612,13 +1612,23 @@ class DevicePackedPESearch:
         if union == "device":
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
-            q_vids = padq(query_pde.vids[rows], 0)
-            l = q_vids.shape[1]
+            l = query_pde.vids.shape[1]
             nv = self._num_vertices
             mode = ("cache" if cache is not None
                     else "stream" if self.streamed
                     else "tbl" if self.table_mode else "arr")
-            key = (mode, k, l, num_query_vertices, qb)
+            # ACTIVE-QUERY GROUPING: a stacked search (online_many)
+            # pads hundreds of plan paths to one qb bucket; masking
+            # EVERY leaf row against every padded path made stacked
+            # work scale ~quadratically (dblp 50-stack: ~30 min).
+            # Instead, each chunk masks only the paths whose phase-1
+            # gate touches its blocks, bucketed small — total mask
+            # work ≈ the per-query sum, while the leaf gathers/
+            # uploads and the dispatch count stay amortized across
+            # the stack.  jit retraces per (qa, nqb) bucket; the
+            # builder is cached per (mode, k, l, nqb).
+            nqb = _bucket(num_query_vertices, lo=8)
+            key = (mode, k, l, nqb)
             if key not in self._phase2_bitmap:
                 builder = (
                     self._build_phase2_bitmap_stream
@@ -1626,24 +1636,53 @@ class DevicePackedPESearch:
                     else self._build_phase2_bitmap_tbl
                     if mode in ("cache", "tbl")
                     else self._build_phase2_bitmap)
-                self._phase2_bitmap[key] = builder(
-                    k, nv, l, num_query_vertices)
+                self._phase2_bitmap[key] = builder(k, nv, l, nqb)
             fn = self._phase2_bitmap[key]
-            qvj = jnp.asarray(q_vids)
+            ql_h = np.asarray(query_pde.labels[rows])
+            qd_h = np.asarray(query_pde.degrees[rows])
+            qt3_h = split3(thresh)
+            qv_h = np.asarray(query_pde.vids[rows])
+
+            def active_inputs(c):
+                # Pad selections with block id 0; bqm gates it off.
+                sel = np.zeros((n, k), dtype=np.int32)
+                parts = chunk_parts(c)
+                cols = np.concatenate(
+                    [s * nbl + p for s, p in enumerate(parts)]) \
+                    if any(len(p) for p in parts) else \
+                    np.zeros(0, np.int64)
+                act = np.nonzero(bmask[:, cols].any(axis=1))[0] \
+                    if len(cols) else np.zeros(0, np.int64)
+                qa = _bucket(max(len(act), 1), lo=8)
+                bqm = np.zeros((n, k, qa), dtype=bool)
+                for s, part in enumerate(parts):
+                    sel[s, :len(part)] = part
+                    bqm[s, :len(part), :len(act)] = \
+                        bmask[np.ix_(act, s * nbl + part)].T
+                pad = qa - len(act)
+                qla = jnp.asarray(_pad_to(ql_h[act], qa, -1))
+                qda = jnp.asarray(_pad_to(qd_h[act], qa, 0))
+                qt3a = tuple(
+                    jnp.asarray(_pad_to(a[act], qa, np.float32(0.0)))
+                    for a in qt3_h)
+                qva = jnp.asarray(_pad_to(qv_h[act], qa, 0))
+                return (sel, jnp.asarray(sel), jnp.asarray(bqm),
+                        qla, qda, qt3a, qva)
+
             # The union accumulates ON DEVICE (acc donated through the
             # chain) as a packed uint32 bitmap; one [nq, V/32]
             # download per query/stack, not per chunk.
             acc = jax.device_put(
-                jnp.zeros((num_query_vertices, _bitmap_words(nv)),
-                          jnp.uint32),
+                jnp.zeros((nqb, _bitmap_words(nv)), jnp.uint32),
                 NamedSharding(self.mesh, P()))
             for c in range(num_chunks):
-                sel, selj, bqmj = chunk_inputs(c)
+                sel, selj, bqmj, qla, qda, qt3a, qva = \
+                    active_inputs(c)
                 if mode == "cache":
                     slots = cache.ensure(chunk_parts(c),
                                          self._host_vids, k)
                     acc = fn(acc, cache.buf, jnp.asarray(slots), bqmj,
-                             ql, qd, qt3, qvj, self._tables)
+                             qla, qda, qt3a, qva, self._tables)
                 elif mode == "stream":
                     gcols = np.concatenate(
                         [((s * nbl + sel[s])[:, None] * b
@@ -1652,15 +1691,15 @@ class DevicePackedPESearch:
                     gvj = jax.device_put(
                         np.ascontiguousarray(self._host_vids[gcols]),
                         NamedSharding(self.mesh, P(self.axis)))
-                    acc = fn(acc, gvj, bqmj, ql, qd, qt3, qvj,
+                    acc = fn(acc, gvj, bqmj, qla, qda, qt3a, qva,
                              self._tables)
                 elif mode == "tbl":
-                    acc = fn(acc, self.d_vids, selj, bqmj, ql, qd,
-                             qt3, qvj, self._tables)
+                    acc = fn(acc, self.d_vids, selj, bqmj, qla, qda,
+                             qt3a, qva, self._tables)
                 else:
                     acc = fn(acc, self.d_labels, self.d_degrees,
                              self.d_pde3, self.d_vids, selj, bqmj,
-                             ql, qd, qt3, qvj)
+                             qla, qda, qt3a, qva)
             out = _unpack_mask(np.asarray(acc),
                                num_query_vertices)[:, :nv]
             if cache is not None:
@@ -1885,10 +1924,10 @@ class DevicePackedPGESearch:
             in_specs=(P(), P(axis), P(axis),
                       (P(axis),) * 3, (P(axis),) * 3,
                       (P(axis),) * 3, P(axis),
-                      P(axis), P(axis),
+                      P(axis), P(axis), P(),
                       P(), P(), (P(),) * 3, (P(),) * 3, (P(),) * 3),
             out_specs=P())
-        def run(acc, dl, dd, ghi3, llo3, lhi3, dord, sel, bqm,
+        def run(acc, dl, dd, ghi3, llo3, lhi3, dord, sel, bqm, aidx,
                 ql, qd, qglo3, qllo3, qlhi3):
             rows = (sel[0][:, None] * b
                     + jnp.arange(b, dtype=jnp.int32)[None]).reshape(-1)
@@ -1904,9 +1943,12 @@ class DevicePackedPGESearch:
             go = jnp.take(dord, rows)
             m = m & gate & (go >= 0)[None]
             goc = jnp.clip(go, 0, num_vertices - 1)
+            # aidx maps mask row i → bitmap row (the stacked query
+            # vertex this chunk-active row belongs to); padded rows
+            # carry an all-false gate, so their .max(0) is a no-op.
             out = jnp.zeros((nq, num_vertices), dtype=jnp.int32)
-            out = out.at[jnp.arange(nq)[:, None], goc[None, :]].max(
-                m[:nq].astype(jnp.int32))
+            out = out.at[aidx[:, None], goc[None, :]].max(
+                m.astype(jnp.int32))
             return _pack_or(acc, out, axis)
 
         return jax.jit(run, donate_argnums=0)
@@ -2063,29 +2105,56 @@ class DevicePackedPGESearch:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
             nq = len(q_vertex_ids)
-            key = (k, nq)
+            # ACTIVE-QUERY GROUPING (see the PE device-union path):
+            # each chunk masks only the query vertices whose phase-1
+            # gate touches its blocks — stacked mask work stays ≈ the
+            # per-query sum while leaf gathers and dispatches
+            # amortize across the stack.
+            nqb = _bucket(nq, lo=8)
+            key = (k, nqb)
             if key not in self._phase2_bitmap:
                 self._phase2_bitmap[key] = self._build_phase2_bitmap(
-                    k, self._num_vertices, nq)
+                    k, self._num_vertices, nqb)
+            qlab_h = np.asarray(q_labels)
+            qdeg_h = np.asarray(q_degrees)
+            qglo_h = split3(_eps_threshold(q_group[:, 0, :],
+                                           self.base_epsilon))
+            qllo_h = split3(q_label_group[:, 0, :])
+            qlhi_h = split3(q_label_group[:, 1, :])
             # Union accumulates ON DEVICE (acc donated through the
             # chain) as a packed uint32 bitmap; one [nq, V/32]
             # download per query/stack (ADVICE r4 item 4).
             acc = jax.device_put(
-                jnp.zeros((nq, _bitmap_words(self._num_vertices)),
+                jnp.zeros((nqb, _bitmap_words(self._num_vertices)),
                           jnp.uint32),
                 NamedSharding(self.mesh, P()))
             for c in range(num_chunks):
                 sel = np.zeros((n, k), dtype=np.int32)
-                bqm = np.zeros((n, k, qb), dtype=bool)
-                for s, ss in enumerate(sel_per):
-                    part = ss[c * k:(c + 1) * k]
+                parts = [ss[c * k:(c + 1) * k] for ss in sel_per]
+                cols = np.concatenate(
+                    [s * nbl + p for s, p in enumerate(parts)]) \
+                    if any(len(p) for p in parts) else \
+                    np.zeros(0, np.int64)
+                act = np.nonzero(bmask[:, cols].any(axis=1))[0] \
+                    if len(cols) else np.zeros(0, np.int64)
+                qa = _bucket(max(len(act), 1), lo=8)
+                bqm = np.zeros((n, k, qa), dtype=bool)
+                for s, part in enumerate(parts):
                     sel[s, :len(part)] = part
-                    bqm[s, :len(part), :q] = bmask[:, s * nbl + part].T
+                    bqm[s, :len(part), :len(act)] = \
+                        bmask[np.ix_(act, s * nbl + part)].T
+                aidx = jnp.asarray(
+                    _pad_to(act.astype(np.int32), qa, 0))
+                qla = jnp.asarray(_pad_to(qlab_h[act], qa, -1))
+                qda = jnp.asarray(_pad_to(qdeg_h[act], qa, 0))
+                pq = lambda t: tuple(
+                    jnp.asarray(_pad_to(a[act], qa, np.float32(0.0)))
+                    for a in t)
                 acc = self._phase2_bitmap[key](
                     acc, self.d_labels, self.d_degrees, self.d_ghi3,
                     self.d_llo3, self.d_lhi3, self.d_order,
-                    jnp.asarray(sel), jnp.asarray(bqm),
-                    ql, qd, qglo3, qllo3, qlhi3)
+                    jnp.asarray(sel), jnp.asarray(bqm), aidx,
+                    qla, qda, pq(qglo_h), pq(qllo_h), pq(qlhi_h))
             out = _unpack_mask(np.asarray(acc),
                                nq)[:, :self._num_vertices]
             return [np.nonzero(out[j])[0].astype(np.int64)
