@@ -286,6 +286,9 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
           f"idx={index_bytes/1e6:.0f}MB p50={np.median(lat):.0f}ms "
           f"p90={np.percentile(lat, 90):.0f}ms",
           file=sys.stderr)
+    # Free PE device state (HBM cache pool, tables) BEFORE the PGE
+    # offline fold — both resident at youtube scale is an OOM.
+    eng.sharded.close()
     del eng
 
     # ---------------- PGE -----------------------------------------------
@@ -427,6 +430,8 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
     print(f"[ladder:{name}] PGE l=2: offline={pge_off_s:.1f}s "
           f"p50={np.median(lat2):.0f}ms skipped={skipped}",
           file=sys.stderr)
+    eng2.sharded.close()
+    del eng2
     return rows
 
 

@@ -148,6 +148,8 @@ def run(dataset: str = "yeast", queries: int = 20, query_size: int = 8,
     if device and variant == "pe":
         mode = "streamed" if fixed.sharded.streamed else "resident"
     base = evaluate(fixed, qs)
+    if device:
+        fixed.sharded.close()   # free HBM before the trained build
     del fixed         # dblp-scale PE keeps ~12 GB of f64 tables alive
     print(f"[payoff:{dataset}] fixed VDE: cands={base['cand_sum_mean']:.0f} "
           f"p50={base['online_p50_ms']:.0f}ms", file=sys.stderr)

@@ -1439,6 +1439,24 @@ class DevicePackedPESearch:
             blk_order = None
         return cache.prefill(self._host_vids, blk_order, max_seconds)
 
+    def close(self) -> None:
+        """Release device buffers (HBM chunk-cache pool, leaf/limb
+        tables, block summaries) and compiled-program caches.  An
+        hour-scale driver that builds another engine on the same chip
+        (the ladder runs PE then PGE per rung) must not keep both
+        device states resident — the youtube rung's 8.8 GB cache pool
+        plus PGE's offline fold is a guaranteed RESOURCE_EXHAUSTED."""
+        self._cache = None
+        self._tables = None
+        self._phase1 = None
+        self._phase2 = {}
+        self._phase2_bitmap = {}
+        self.d_vids = self.d_labels = self.d_degrees = None
+        self.d_pde3 = None
+        self.b_ub3 = self.b_llo3 = self.b_lhi3 = self.b_deg = None
+        import gc
+        gc.collect()
+
     def warm(self, qbs=(8, 16)) -> float:
         """Precompile phase 1 + phase 2 for the given query buckets
         with one synthetic dispatch each (results discarded), so no
@@ -1675,6 +1693,15 @@ class DevicePackedPESearch:
             acc = jax.device_put(
                 jnp.zeros((nqb, _bitmap_words(nv)), jnp.uint32),
                 NamedSharding(self.mesh, P()))
+            # Sliding in-flight window (cache/stream modes): each
+            # cache write donates the pool buffer, but queued chunk
+            # reads pin the previous version, so an unbounded dispatch
+            # chain accumulates multi-GB buffer copies (the youtube
+            # serving RESOURCE_EXHAUSTED).  A 4-byte forced readback
+            # every `window` chunks drains the chain.
+            import os as _os
+            window = (int(_os.environ.get("GNNPE_STREAM_WINDOW", "8"))
+                      if mode in ("cache", "stream") else 1 << 30)
             for c in range(num_chunks):
                 sel, selj, bqmj, qla, qda, qt3a, qva = \
                     active_inputs(c)
@@ -1700,6 +1727,8 @@ class DevicePackedPESearch:
                     acc = fn(acc, self.d_labels, self.d_degrees,
                              self.d_pde3, self.d_vids, selj, bqmj,
                              qla, qda, qt3a, qva)
+                if (c + 1) % window == 0:
+                    np.asarray(acc[:1, :1])
             out = _unpack_mask(np.asarray(acc),
                                num_query_vertices)[:, :nv]
             if cache is not None:
@@ -1988,6 +2017,18 @@ class DevicePackedPGESearch:
             return _pack_mask(m & gate)
 
         return jax.jit(run)
+
+    def close(self) -> None:
+        """Release device buffers and compiled-program caches (see
+        DevicePackedPESearch.close)."""
+        self._phase1 = None
+        self._phase2 = {}
+        self._phase2_bitmap = {}
+        self.d_labels = self.d_degrees = self.d_order = None
+        self.d_ghi3 = self.d_llo3 = self.d_lhi3 = None
+        self.b_gub3 = self.b_llo3 = self.b_lhi3 = self.b_deg = None
+        import gc
+        gc.collect()
 
     def warm(self, qbs=(8, 16)) -> float:
         """Precompile phase 1 + phase 2 (see DevicePackedPESearch.warm)."""
