@@ -44,6 +44,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
              force_streamed: bool = False,
              serve: bool = True,
              ab_sequential: bool = False,
+             pe_only: bool = False,
              out_path: str = "") -> list:
     import jax
     enable_persistent_cache()
@@ -290,6 +291,8 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
     # offline fold — both resident at youtube scale is an OOM.
     eng.sharded.close()
     del eng
+    if pe_only:
+        return rows
 
     # ---------------- PGE -----------------------------------------------
     cfg2 = PGEConfig.from_cli(l=2, e=2, p=5, n=max_answers)
@@ -459,6 +462,9 @@ def main(argv=None):
                     help="also rebuild the PE index sequentially "
                          "(monolithic r4 path) and record the "
                          "pipeline_vs_sequential speedup in the row")
+    ap.add_argument("--pe-only", action="store_true",
+                    help="skip the PGE pass (used for PE-focused "
+                         "re-runs, e.g. the forced-streamed A/B)")
     ap.add_argument("--pe-max-paths", type=float,
                     default=2_000_000_000,
                     help="PE l=2 feasibility cap in entries; the "
@@ -476,6 +482,7 @@ def main(argv=None):
                                  force_streamed=args.force_streamed,
                                  serve=not args.no_serve,
                                  ab_sequential=args.ab_sequential,
+                                 pe_only=args.pe_only,
                                  pe_max_paths=int(args.pe_max_paths),
                                  out_path=args.out))
     print(json.dumps(all_rows))
