@@ -278,6 +278,10 @@ def build_streamed_bucketed(mesh, spill: BucketSpill, vertices,
         hv = np.empty((ent_rows, l), np.int32)
     hv[p:] = v                       # sentinel pad tail
     self._host_vids = hv
+    # Build-temp disk-tier file: OWNED by this index, deleted on
+    # close() (save() copies into its own .vids.bin sidecar, so the
+    # working file never outlives the search object).
+    self._owned_table_path = table_path
     offs = np.concatenate([[0], np.cumsum(spill.counts)])
     assert offs[-1] == p, (offs[-1], p)
     hi_sent = np.int64(1) << 62

@@ -31,6 +31,7 @@ mirroring parallel/query.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -1454,6 +1455,19 @@ class DevicePackedPESearch:
         self.d_vids = self.d_labels = self.d_degrees = None
         self.d_pde3 = None
         self.b_ub3 = self.b_llo3 = self.b_lhi3 = self.b_deg = None
+        # Disk-tier working file (bucketed streamed build): the index
+        # owns it; unlink so 50 GB build temps don't accumulate per
+        # run.  save() copies into its own sidecar, and a Linux
+        # unlink-while-mapped frees space only at the final unmap, so
+        # surviving views stay valid.
+        tp = getattr(self, "_owned_table_path", None)
+        if tp is not None:
+            self._host_vids = None
+            self._owned_table_path = None
+            try:
+                os.unlink(tp)
+            except OSError:
+                pass
         import gc
         gc.collect()
 

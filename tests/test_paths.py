@@ -271,6 +271,13 @@ def test_bucketed_streamed_build_bit_identical(data_graph, tmp_path,
     c = idx.search(q_pde, plan, q.num_vertices)
     for x, y in zip(a, c):
         np.testing.assert_array_equal(x, y)
+    # close() must unlink the build-temp disk-tier table (50 GB per
+    # run at the youtube_skew rung must not accumulate).
+    import os
+    tp = idx._owned_table_path
+    assert tp is not None and os.path.exists(tp)
+    idx.close()
+    assert not os.path.exists(tp)
 
 
 def test_capacity_model_auto_streams(data_graph, monkeypatch):
