@@ -45,6 +45,8 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
              serve: bool = True,
              ab_sequential: bool = False,
              pe_only: bool = False,
+             pe_load: str = "",
+             build_note: str = "",
              out_path: str = "") -> list:
     import jax
     enable_persistent_cache()
@@ -85,7 +87,19 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
     eng.vertices = eng.embedder(g)
     pipe_timings = None
     forced = False if force_streamed else None
-    if pipelined:
+    if pe_load:
+        # Serve a persisted index (DevicePackedPESearch.save format)
+        # instead of rebuilding — the reference's index.dat reload
+        # (custom.h:218-234).  enumerate/build times then describe the
+        # LOAD, not a fresh build; build_note records provenance.
+        t0 = time.time()
+        eng.sharded = DevicePackedPESearch.load(
+            mesh, pe_load, eng.vertices)
+        build_s = time.time() - t0
+        enum_s = 0.0
+        eng.paths = eng.sharded._host_vids[
+            :eng.sharded.num_entries]
+    elif pipelined:
         from gnnpe_tpu.paths.pipeline import offline_build_pipelined
         t0 = time.time()
         eng.paths, eng.sharded, pipe_timings = offline_build_pipelined(
@@ -252,6 +266,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
         rung=name, variant="pe", l=pe_l, v=g.num_vertices,
         e=g.num_edges, paths=num_paths,
         mode="streamed" if eng.sharded.streamed else "resident",
+        loaded_from=pe_load or None, build_note=build_note or None,
         enumerate_s=round(enum_s, 2), index_build_s=round(build_s, 2),
         build_phase_ms=eng.sharded.build_phase_ms,
         pipeline=pipe_timings,
@@ -465,6 +480,12 @@ def main(argv=None):
     ap.add_argument("--pe-only", action="store_true",
                     help="skip the PGE pass (used for PE-focused "
                          "re-runs, e.g. the forced-streamed A/B)")
+    ap.add_argument("--pe-load", default="",
+                    help="serve a persisted PE index "
+                         "(DevicePackedPESearch.save .npz) instead "
+                         "of rebuilding")
+    ap.add_argument("--build-note", default="",
+                    help="provenance note recorded in the PE row")
     ap.add_argument("--pe-max-paths", type=float,
                     default=2_000_000_000,
                     help="PE l=2 feasibility cap in entries; the "
@@ -483,6 +504,8 @@ def main(argv=None):
                                  serve=not args.no_serve,
                                  ab_sequential=args.ab_sequential,
                                  pe_only=args.pe_only,
+                                 pe_load=args.pe_load,
+                                 build_note=args.build_note,
                                  pe_max_paths=int(args.pe_max_paths),
                                  out_path=args.out))
     print(json.dumps(all_rows))

@@ -1094,16 +1094,20 @@ class DevicePackedPESearch:
         np.asarray(out[4][:1, :1])
 
     # -- phase 1: block mask ------------------------------------------
+    # Phase-1 block-chunk width: the limb-compare broadcasts cost
+    # O(qb · chunk · l·d) scratch; unchunked at the youtube_skew rung
+    # (8.2M blocks) that is several ~3 GB temps live at once — a
+    # guaranteed RESOURCE_EXHAUSTED.  1M blocks × qb=16 × 6 dims keeps
+    # every temp under ~400 MB while still saturating the VPU.
+    _P1_CHUNK = 1 << 20
+
     def _build_phase1(self):
         import jax
+        import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
+        cb = self._P1_CHUNK
 
-        @functools.partial(
-            jax.shard_map, mesh=self.mesh,
-            in_specs=((P(self.axis),) * 3,) * 3 + (P(self.axis),)
-            + ((P(),) * 3, (P(),) * 3, P()),
-            out_specs=P(None, self.axis))
-        def run(ub3, llo3, lhi3, bdeg, qt3, qlbl3, qdeg):
+        def body(ub3, llo3, lhi3, bdeg, qt3, qlbl3, qdeg):
             # dom: blk_ub >= q_pde - eps   (same threshold as the leaf)
             dom = ge3(*(a[None] for a in ub3),
                       *(a[:, None, :] for a in qt3)).all(-1)
@@ -1116,6 +1120,49 @@ class DevicePackedPESearch:
             # Packed bitmap when 32 | nbl: the [Q, NB] mask is the
             # dominant device->host transfer at million-block scale.
             return _pack_mask(dom & inside & deg)
+
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=((P(self.axis),) * 3,) * 3 + (P(self.axis),)
+            + ((P(),) * 3, (P(),) * 3, P()),
+            out_specs=P(None, self.axis))
+        def run(ub3, llo3, lhi3, bdeg, qt3, qlbl3, qdeg):
+            nbl = bdeg.shape[0]
+            if nbl <= cb:
+                return body(ub3, llo3, lhi3, bdeg, qt3, qlbl3, qdeg)
+            # Sequential lax.map over block chunks bounds scratch to
+            # one chunk's broadcasts.  Pad the tail chunk's blk_ub hi
+            # limb with the -3e38 pad sentinel (dominance false ⇒
+            # packed zeros), slice the concatenation back to nbl
+            # (32 | nbl at every production block size).
+            nc = -(-nbl // cb)
+            pad = nc * cb - nbl
+
+            def padded(a, fill):
+                if pad == 0:
+                    return a.reshape((nc, cb) + a.shape[1:])
+                return jnp.concatenate(
+                    [a, jnp.full((pad,) + a.shape[1:], fill,
+                                 a.dtype)]).reshape(
+                    (nc, cb) + a.shape[1:])
+
+            stk = ((padded(ub3[0], np.float32(_NEG)),
+                    padded(ub3[1], 0), padded(ub3[2], 0))
+                   + tuple(padded(a, 0) for t in (llo3, lhi3)
+                           for a in t)
+                   + (padded(bdeg, 0),))
+
+            def chunk(args):
+                u3 = args[0:3]
+                lo3 = args[3:6]
+                hi3 = args[6:9]
+                bd = args[9]
+                return body(u3, lo3, hi3, bd, qt3, qlbl3, qdeg)
+
+            out = jax.lax.map(chunk, stk)          # [nc, qb, cb//32]
+            qb = out.shape[1]
+            return out.transpose(1, 0, 2).reshape(
+                qb, -1)[:, :nbl // 32]
 
         return jax.jit(run)
 

@@ -512,3 +512,42 @@ def test_streamed_index_parity(data_graph, query_graph, golden_meta):
     assert r.answer_count == golden_meta["pe"]["answer_number"]
     assert [len(c) for c in r.candidates] == \
         golden_meta["pe"]["candidate_sizes"]
+
+
+def test_phase1_block_chunking_parity(data_graph, query_graph,
+                                      monkeypatch):
+    """The chunked phase-1 (lax.map over block chunks — bounds the
+    limb-compare scratch that OOMed the 8.2M-block youtube_skew warm)
+    must emit bit-identical packed block masks to the single-shot
+    kernel.  Forced here by shrinking _P1_CHUNK far below the Test
+    index's block count, including a non-divisible tail chunk."""
+    import numpy as np
+    from gnnpe_tpu.config import PEConfig
+    from gnnpe_tpu.embed.pde import gen_query_pde_table
+    from gnnpe_tpu.embed.vde import gen_vde
+    from gnnpe_tpu.engine import PEEngine
+    from gnnpe_tpu.index.device_packed import DevicePackedPESearch
+    from gnnpe_tpu.match.plan import greedy_path_cover
+    from gnnpe_tpu.paths.enumerate import enumerate_paths
+
+    cfg = PEConfig.from_cli(l=2, e=2, p=5)
+    eng = PEEngine(cfg, data_graph)
+    eng.vertices = eng.embedder(data_graph)
+    eng.offline()
+    mesh = make_mesh(8, axes=("graph",), shape=(8,))
+    idx = DevicePackedPESearch.build_from_paths(
+        mesh, eng.paths, eng.vertices, resident=False)
+    qv = gen_vde(query_graph, cfg.vde_dim)
+    qp, _ = enumerate_paths(query_graph,
+                            np.arange(query_graph.num_vertices),
+                            cfg.path_length, dedup=True)
+    q_pde, w, _ = gen_query_pde_table(qv, qp)
+    plan = greedy_path_cover(qp, w, query_graph.num_vertices)
+    base = idx.search(q_pde, plan, query_graph.num_vertices)
+
+    assert idx.nb_local > 96, "need several chunks for the test"
+    monkeypatch.setattr(DevicePackedPESearch, "_P1_CHUNK", 96)
+    idx._phase1 = None                      # force a chunked rebuild
+    chunked = idx.search(q_pde, plan, query_graph.num_vertices)
+    for a, b in zip(base, chunked):
+        np.testing.assert_array_equal(a, b)
