@@ -357,10 +357,12 @@ def build_streamed_bucketed(mesh, spill: BucketSpill, vertices,
     t0 = time.perf_counter()
     shard = NamedSharding(mesh, P(axis))
     put = lambda a: jax.device_put(a, shard)
-    zl = lambda a: jnp.zeros_like(a)
-    self.b_ub3 = (put(blk_ub), put(zl(blk_ub)), put(zl(blk_ub)))
-    self.b_llo3 = (put(blk_llo), put(zl(blk_llo)), put(zl(blk_llo)))
-    self.b_lhi3 = (put(blk_lhi), put(zl(blk_lhi)), put(zl(blk_lhi)))
+    # Shared zero buffer for the six zero-limb slots (read-only
+    # phase-1 inputs; ~1.2 GB saved at the 8.2M-block skew rung).
+    z0 = put(np.zeros_like(blk_ub))
+    self.b_ub3 = (put(blk_ub), z0, z0)
+    self.b_llo3 = (put(blk_llo), z0, z0)
+    self.b_lhi3 = (put(blk_lhi), z0, z0)
     self.b_deg = put(blk_deg)
     float(self.b_deg[0, 0])          # force (relay block is a no-op)
     self.d_vids = None
