@@ -45,6 +45,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
              serve: bool = True,
              ab_sequential: bool = False,
              pe_only: bool = False,
+             pge_only: bool = False,
              pe_load: str = "",
              build_note: str = "",
              out_path: str = "") -> list:
@@ -81,6 +82,9 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
           for i in range(queries)]
 
     # ---------------- PE ------------------------------------------------
+    if pge_only:
+        return _run_pge(name, g, qs, mesh, max_answers, serve, emit,
+                        rows)
     pe_l = 2 if est_paths3 // 2 <= pe_max_paths else 1
     cfg = PEConfig.from_cli(l=pe_l, e=2, p=5, n=max_answers)
     eng = PEEngine(cfg, g)
@@ -308,8 +312,19 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
     del eng
     if pe_only:
         return rows
+    return _run_pge(name, g, qs, mesh, max_answers, serve, emit,
+                    rows)
 
-    # ---------------- PGE -----------------------------------------------
+
+def _run_pge(name, g, qs, mesh, max_answers, serve, emit, rows):
+    """The PGE half of a rung — separable so --pge-only can recover a
+    PGE row in a fresh process when the PE half of a previous run
+    crashed after emitting its row (e.g. the r5 youtube serving OOM
+    took down the in-process PGE pass)."""
+    from gnnpe_tpu.config import PGEConfig
+    from gnnpe_tpu.engine import PGEEngine
+    from gnnpe_tpu.paths.enumerate import enumerate_paths
+
     cfg2 = PGEConfig.from_cli(l=2, e=2, p=5, n=max_answers)
     eng2 = PGEEngine(cfg2, g)
     t0 = time.time()
@@ -480,6 +495,9 @@ def main(argv=None):
     ap.add_argument("--pe-only", action="store_true",
                     help="skip the PGE pass (used for PE-focused "
                          "re-runs, e.g. the forced-streamed A/B)")
+    ap.add_argument("--pge-only", action="store_true",
+                    help="skip the PE pass (recover a PGE row in a "
+                         "fresh process)")
     ap.add_argument("--pe-load", default="",
                     help="serve a persisted PE index "
                          "(DevicePackedPESearch.save .npz) instead "
@@ -504,6 +522,7 @@ def main(argv=None):
                                  serve=not args.no_serve,
                                  ab_sequential=args.ab_sequential,
                                  pe_only=args.pe_only,
+                                 pge_only=args.pge_only,
                                  pe_load=args.pe_load,
                                  build_note=args.build_note,
                                  pe_max_paths=int(args.pe_max_paths),
