@@ -242,7 +242,7 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
     # per stack), answers asserted equal to the per-query loop.
     serving = None
     if serve:
-        try:
+        def serve_once():
             t0 = time.time()
             rs = eng.online_many(qs, union="device")
             cold_s = time.time() - t0
@@ -255,17 +255,37 @@ def run_rung(name: str, queries: int = 50, query_size: int = 8,
             rs = eng.online_many(qs, union="device")
             serving_s = time.time() - t0
             assert [r.answer_count for r in rs] == answers
-            serving = dict(
+            return dict(
                 queries=len(qs), cold_s=round(cold_s, 2),
                 serving_s=round(serving_s, 2),
                 qps=round(len(qs) / serving_s, 2),
                 amortized_ms=round(serving_s * 1e3 / len(qs), 1),
                 speedup_vs_sequential=round(
                     float(np.sum(lat)) / (serving_s * 1e3), 2))
+
+        try:
+            serving = serve_once()
         except Exception as exc:           # noqa: BLE001
-            serving = dict(error=repr(exc)[:300])
-            print(f"[ladder:{name}] PE SERVING FAILED: {serving}",
-                  file=sys.stderr)
+            # Memory-pressure recovery: the stacked dispatch competes
+            # with a full leaf cache pool for HBM; evict + shrink the
+            # cache and retry once before recording a failure.
+            if ("RESOURCE_EXHAUSTED" in repr(exc)
+                    and eng.sharded.streamed):
+                nb = eng.sharded.degrade_cache(0.5)
+                print(f"[ladder:{name}] PE serving OOM -> cache "
+                      f"degraded to {nb/1e9:.1f} GB, retrying",
+                      file=sys.stderr)
+                try:
+                    serving = serve_once()
+                    serving["degraded_cache_bytes"] = int(nb)
+                except Exception as exc2:  # noqa: BLE001
+                    serving = dict(error=repr(exc2)[:300],
+                                   degraded_cache_bytes=int(nb))
+            else:
+                serving = dict(error=repr(exc)[:300])
+            if "error" in (serving or {}):
+                print(f"[ladder:{name}] PE SERVING FAILED: {serving}",
+                      file=sys.stderr)
     emit(dict(
         rung=name, variant="pe", l=pe_l, v=g.num_vertices,
         e=g.num_edges, paths=num_paths,

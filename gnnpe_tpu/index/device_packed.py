@@ -1456,9 +1456,28 @@ class DevicePackedPESearch:
                 c = DeviceChunkCache(
                     self.mesh, self.axis,
                     int(self._host_vids.shape[1]), self.block_size,
-                    self.nb_local, cache_budget_bytes())
+                    self.nb_local,
+                    getattr(self, "_cache_budget", None)
+                    or cache_budget_bytes())
                 self._cache = c if c.capacity >= self.k_chunk else False
         return self._cache or None
+
+    def degrade_cache(self, factor: float = 0.5) -> float:
+        """Free the streamed leaf-block cache pool and shrink its
+        budget for the lazy re-creation — memory-pressure recovery:
+        a stacked serving dispatch that RESOURCE_EXHAUSTEDs next to a
+        full pool (youtube r5) should evict cache and retry, not
+        fail.  Returns the new budget in bytes."""
+        import gc
+        cur = (getattr(self, "_cache_budget", None)
+               or cache_budget_bytes())
+        if self._cache:
+            self._cache.buf = None
+            self._cache._writes = {}
+        self._cache = None
+        self._cache_budget = cur * factor
+        gc.collect()
+        return self._cache_budget
 
     def prefill_cache(self, max_seconds: float = 1e9,
                       order: str = "popular") -> int:

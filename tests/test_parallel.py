@@ -551,3 +551,12 @@ def test_phase1_block_chunking_parity(data_graph, query_graph,
     chunked = idx.search(q_pde, plan, query_graph.num_vertices)
     for a, b in zip(base, chunked):
         np.testing.assert_array_equal(a, b)
+
+    # Memory-pressure recovery: degrading the cache (evict pool +
+    # halve budget) must leave the search bit-identical.
+    from gnnpe_tpu.index.device_packed import cache_budget_bytes
+    nb = idx.degrade_cache(0.5)
+    assert nb == cache_budget_bytes() * 0.5
+    after = idx.search(q_pde, plan, query_graph.num_vertices)
+    for a, b in zip(base, after):
+        np.testing.assert_array_equal(a, b)
